@@ -1,0 +1,40 @@
+"""como_tpu — a TPU-native dense monocular SLAM framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of COMO
+("Compact Mapping and Odometry", ECCV 2024, reference: edexheim/como):
+real-time monocular visual odometry with a compact GP-regressed dense
+geometry backend, built TPU-first:
+
+  * functional core: all SLAM state lives in pytrees with *static* shapes;
+    tracking and mapping steps are pure jitted functions,
+  * hand-derived Jacobians on the hot path (verified against autodiff in
+    tests), assembled with deterministic XLA scatter-adds,
+  * Pallas kernels for the GP cross-covariance hot op,
+  * host orchestration kept thin: frame decisions on host, all linear
+    algebra on device,
+  * a sequential engine (benchmark path) and a pipelined runtime
+    (tracking/mapping decoupled, bounded drop-stale queues).
+
+Package layout:
+  geometry/  SE(3), camera, rigid transforms, log-depth, affine brightness
+  ops/       image pyramids/gradients, bilinear sampling, masked linalg
+  gp/        probability-product Matern kernel, greedy entropy sampler,
+             GP depth predictor + distillation
+  net/       DepthCov UNet (flax) + analytic structure-tensor prior
+  odom/      frontend (IC tracking, two-frame SfM, correspondence) and
+             backend (photometric BA, prior factors, linear system)
+  runtime/   sequential + pipelined engines, queues
+  data/      dataset loaders (TUM/Replica/ScanNet/synthetic)
+  parallel/  device mesh / sharded BA linearization
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# GN solvers and hand-derived Jacobian chains are f32 algorithms: on TPU the
+# default matmul precision is bf16, which silently destroys them (observed:
+# 3e-3 error on a 3x3 rotation product).  The framework therefore pins the
+# default to full f32; hot MXU paths (the DepthCov UNet) opt in to bf16
+# explicitly where it is safe.
+_jax.config.update("jax_default_matmul_precision", "highest")

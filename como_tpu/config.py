@@ -1,0 +1,175 @@
+"""Configuration layer: typed dataclasses with validation + YAML overrides.
+
+Defaults mirror the reference's config/como.yml hyperparameters; unlike
+the reference (raw dicts passed down, several sigmas hard-coded at call
+sites), every knob lives here, is validated on load, and the sigma values
+that the reference buries in Mapping.iterate (gp_ml sigma=1e0,
+log_depth_prior sigma_first=1e0, pixel prior sigmas 1e-2/3.33e-1,
+distill sigma_median=5e-2) are first-class fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class PyrConfig:
+    start_level: int = 0
+    end_level: int = 3
+    depth_interp_mode: str = "nearest_neighbor"
+
+
+@dataclass
+class TermCriteria:
+    max_iter: int = 50
+    delta_norm: float = 1e-3
+    rel_tol: float = 1e-3
+    grad_norm: float = 1.0
+    abs_tol: float = 1e-6
+
+
+@dataclass
+class KeyframingConfig:
+    kf_depth_motion_ratio: float = 0.12
+    kf_num_pixels_frac: float = 0.75
+    one_way_freq: int = 3
+
+
+@dataclass
+class TrackingConfig:
+    device: str = "tpu:0"
+    dtype: str = "float32"
+    color: str = "gray"
+    pyr: PyrConfig = field(default_factory=PyrConfig)
+    term_criteria: TermCriteria = field(default_factory=TermCriteria)
+    photo_sigma: float = 1e-1
+    keyframing: KeyframingConfig = field(default_factory=KeyframingConfig)
+
+
+@dataclass
+class GraphConfig:
+    num_keyframes: int = 9
+    num_one_way_frames: int = 24
+
+
+@dataclass
+class PhotoConstructionConfig:
+    nonmax_suppression_window: int = 4
+    pairwise_batch_size: int = 128
+    radius_thresh: float = 0.0
+    degrees_thresh: float = 0.0
+
+
+@dataclass
+class SigmasConfig:
+    photo: float = 1e-1
+    mean_depth_prior: float = 1e-2
+    scale_prior: float = 1e-4
+    pose_prior: float = 1e-6
+    # call-site sigmas the reference hard-codes (Mapping.py:821,836-852):
+    gp_prior: float = 1e0
+    log_depth_first: float = 1e0
+    log_depth_all: float = 1e0
+    pixel_first: float = 1e-2
+    pixel_all: float = 3.33e-1
+    distill_median: float = 5e-2
+
+
+@dataclass
+class SamplingConfig:
+    mode: str = "greedy_conditional_entropy"
+    max_num_coords: int = 64
+    max_stdev_thresh: float = 1e-2
+    border: int = 3
+    fixed_var: float = 0.0
+    dist_thresh: float = 1e-1
+
+
+@dataclass
+class CorrConfig:
+    corr_mode: str = "logz"
+    corr_thresh: float = 3e-2
+    distill_with_prior: bool = True
+    min_obs_depth: float = 0.0
+    logz_grad_mag_thresh: float = 7e-2
+
+
+@dataclass
+class InitConfig:
+    start_level: int = 0
+    end_level: int = 3
+    max_iter: int = 50
+    delta_norm: float = 1e-4
+    rel_tol: float = 1e-4
+    kf_depth_motion_ratio: float = 0.04
+    kf_num_pixels_frac: float = 0.75
+
+
+@dataclass
+class MappingConfig:
+    device: str = "tpu:0"
+    dtype: str = "float32"  # TPU-native: f32 (+ damping) instead of f64
+    color: str = "gray"
+    model_path: str = ""    # empty -> analytic structure-tensor prior
+    prior: str = "analytic"  # "analytic" | "unet"
+    track_ref_num_keyframes: int = 1
+    graph: GraphConfig = field(default_factory=GraphConfig)
+    photo_construction: PhotoConstructionConfig = field(default_factory=PhotoConstructionConfig)
+    term_criteria: TermCriteria = field(
+        default_factory=lambda: TermCriteria(max_iter=20, delta_norm=1e-8,
+                                             rel_tol=1e-6, abs_tol=1e-6)
+    )
+    sigmas: SigmasConfig = field(default_factory=SigmasConfig)
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    corr: CorrConfig = field(default_factory=CorrConfig)
+    init: InitConfig = field(default_factory=InitConfig)
+    gn_damping: float = 1e-6  # Tikhonov damping on H (f32 safety)
+
+
+@dataclass
+class ComoConfig:
+    name: str = "como_tpu"
+    img_size: List[int] = field(default_factory=lambda: [192, 256])
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+
+    def validate(self) -> "ComoConfig":
+        assert self.tracking.pyr.start_level >= 0
+        assert self.tracking.pyr.end_level > self.tracking.pyr.start_level
+        assert self.mapping.graph.num_keyframes >= 2
+        assert self.mapping.sampling.max_num_coords >= 1
+        assert self.img_size[0] % (2 ** (self.tracking.pyr.end_level - 1)) == 0, \
+            "img height must be divisible by pyramid decimation"
+        assert self.img_size[1] % (2 ** (self.tracking.pyr.end_level - 1)) == 0
+        assert self.mapping.color in ("gray", "rgb")
+        return self
+
+
+def _merge_dataclass(obj, overrides: Dict[str, Any]):
+    for k, v in overrides.items():
+        if not hasattr(obj, k):
+            raise KeyError(f"unknown config key '{k}' for {type(obj).__name__}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _merge_dataclass(cur, v)
+        else:
+            setattr(obj, k, v)
+    return obj
+
+
+def load_config(path: Optional[str] = None,
+                overrides: Optional[Dict[str, Any]] = None) -> ComoConfig:
+    """Defaults <- YAML file <- dict overrides, then validate."""
+    cfg = ComoConfig()
+    if path is not None:
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        _merge_dataclass(cfg, data)
+    if overrides:
+        _merge_dataclass(cfg, overrides)
+    return cfg.validate()

@@ -1,0 +1,97 @@
+"""Bilinear sparse sampling with torch.grid_sample parity.
+
+The reference leans on torch.nn.functional.grid_sample
+(align_corners=False, padding_mode "zeros"/"border") everywhere
+(como/odom/frontend/photo_utils.py, como/odom/backend/photo.py,
+como/depth_cov/core/gaussian_kernel.py).  We sample directly at *pixel*
+coordinates: with align_corners=False the normalize/unnormalize round
+trip is the identity on pixel coords, so normalization is skipped
+entirely on the hot path.  Parity vs torch is pinned by golden tests
+(tests/test_interp.py).
+
+All functions are gather-based and shaped for the VPU: channel-last
+gathers over flattened H*W.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img: jax.Array, xy: jax.Array, padding: str = "zeros") -> jax.Array:
+    """Sample img (C, H, W) at pixel coords xy (N, 2) -> (C, N).
+
+    padding="zeros": out-of-bounds taps contribute 0 (grid_sample zeros).
+    padding="border": coords clamped to the valid range (grid_sample border).
+    """
+    C, H, W = img.shape
+    x, y = xy[..., 0], xy[..., 1]
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    if padding == "border":
+        x0c, x1c = jnp.clip(x0, 0, W - 1), jnp.clip(x1, 0, W - 1)
+        y0c, y1c = jnp.clip(y0, 0, H - 1), jnp.clip(y1, 0, H - 1)
+        m00 = m01 = m10 = m11 = 1.0
+    elif padding == "zeros":
+        def inb(xi, yi):
+            return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(img.dtype)
+        m00 = inb(x0, y0)
+        m01 = inb(x1, y0)
+        m10 = inb(x0, y1)
+        m11 = inb(x1, y1)
+        x0c, x1c = jnp.clip(x0, 0, W - 1), jnp.clip(x1, 0, W - 1)
+        y0c, y1c = jnp.clip(y0, 0, H - 1), jnp.clip(y1, 0, H - 1)
+    else:
+        raise ValueError(f"unknown padding {padding}")
+
+    flat = img.reshape(C, H * W)
+    def tap(yc, xc):
+        return flat[:, yc * W + xc]  # (C, N)
+
+    w00 = (1 - wx) * (1 - wy) * m00
+    w01 = wx * (1 - wy) * m01
+    w10 = (1 - wx) * wy * m10
+    w11 = wx * wy * m11
+    return (tap(y0c, x0c) * w00 + tap(y0c, x1c) * w01
+            + tap(y1c, x0c) * w10 + tap(y1c, x1c) * w11)
+
+
+def img_interp(img: jax.Array, xy: jax.Array):
+    """Sample (C, H, W) at xy (N, 2) with zeros padding + validity mask.
+
+    Matches reference photo_utils.img_interp: valid iff 1 <= x < W-1 and
+    1 <= y < H-1 (strict interior so image gradients stay clean).
+    Returns vals (C, N), valid (N,).
+    """
+    _, H, W = img.shape
+    x, y = xy[..., 0], xy[..., 1]
+    valid = (x >= 1) & (x < W - 1) & (y >= 1) & (y < H - 1)
+    vals = bilinear_sample(img, xy, padding="zeros")
+    return vals, valid
+
+
+batched_bilinear_sample = jax.vmap(bilinear_sample, in_axes=(0, 0, None))
+batched_img_interp = jax.vmap(img_interp, in_axes=(0, 0))
+
+
+@partial(jax.jit, static_argnames=("out_size", "align_corners"))
+def resize_bilinear(img: jax.Array, out_size, align_corners: bool = False) -> jax.Array:
+    """Bilinear image resize of (..., H, W) to out_size=(H2, W2).
+
+    Uses jax.image.resize ("linear" matches non-antialiased bilinear
+    upsampling; good enough for the cov-param resizes where the reference
+    uses torchvision antialiased resize).
+    """
+    shape = img.shape[:-2] + tuple(out_size)
+    return jax.image.resize(img, shape, method="linear")

@@ -1,0 +1,118 @@
+"""Greedy conditional-entropy sampler: validated against a brute-force
+reference implementation (full Cholesky recompute every step)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from como_tpu.gp import kernels, sampler
+
+
+def small_domain(rng, d=60):
+    x = rng.uniform(-1, 1, size=(d, 2)).astype(np.float32)
+    e = np.abs(rng.normal(size=(d, 3)).astype(np.float32)) * 0.3 + 0.1
+    e[:, 2] = 0.0
+    return jnp.array(x), jnp.array(e)
+
+
+def brute_force_greedy(x, e, n_sel, signal_var=1.0):
+    """Recompute the exact posterior variance each step; argmax stdev."""
+    D = x.shape[0]
+    chosen = [int(np.argmax(np.array(e[:, 0] * e[:, 1] - e[:, 2] ** 2)))]
+    for _ in range(n_sel - 1):
+        xs, es = x[jnp.array(chosen)], e[jnp.array(chosen)]
+        K_mm = np.array(kernels.cross_covariance(xs, es, xs, es, signal_var))
+        K_md = np.array(kernels.cross_covariance(xs, es, x, e, signal_var))
+        sol = np.linalg.solve(K_mm + 1e-9 * np.eye(len(chosen)), K_md)
+        var = signal_var - np.sum(K_md * sol, axis=0)
+        var[chosen] = -np.inf
+        chosen.append(int(np.argmax(var)))
+    return chosen
+
+
+def test_greedy_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    x, e = small_domain(rng)
+    S = 8
+    res = sampler.greedy_entropy_sample(
+        x, e, jnp.ones((x.shape[0],), bool),
+        jnp.zeros((S, 2)), jnp.zeros((S, 3)), jnp.zeros((S,), bool), jnp.zeros((S,)),
+        signal_var=1.0, num_slots=S,
+    )
+    got = list(np.array(res.domain_inds))
+    want = brute_force_greedy(x, e, S)
+    assert got == want
+    assert bool(np.all(np.array(res.valid)))
+
+
+def test_variance_decreases():
+    rng = np.random.default_rng(1)
+    x, e = small_domain(rng, d=100)
+    S = 16
+    res = sampler.greedy_entropy_sample(
+        x, e, jnp.ones((100,), bool),
+        jnp.zeros((S, 2)), jnp.zeros((S, 3)), jnp.zeros((S,), bool), jnp.zeros((S,)),
+        signal_var=1.0, num_slots=S,
+    )
+    # selected sites should all be distinct
+    inds = np.array(res.domain_inds)
+    assert len(set(inds.tolist())) == S
+
+
+def test_existing_prefix_respected():
+    rng = np.random.default_rng(2)
+    x, e = small_domain(rng)
+    S = 8
+    curr = jnp.zeros((S, 2)).at[0].set(x[5]).at[1].set(x[17])
+    curr_e = jnp.zeros((S, 3)).at[0].set(e[5]).at[1].set(e[17])
+    curr_valid = jnp.zeros((S,), bool).at[0].set(True).at[1].set(True)
+    res = sampler.greedy_entropy_sample(
+        x, e, jnp.ones((x.shape[0],), bool),
+        curr, curr_e, curr_valid, jnp.zeros((S,)),
+        signal_var=1.0, num_slots=S,
+    )
+    inds = np.array(res.domain_inds)
+    assert inds[0] == -1 and inds[1] == -1          # existing: no domain ind
+    assert bool(np.all(np.array(res.valid)))
+    assert not np.array(res.is_new)[0] and np.array(res.is_new)[2]
+    # newly sampled sites should avoid re-picking the existing ones
+    assert 5 not in inds[2:] and 17 not in inds[2:]
+
+
+def test_early_termination():
+    rng = np.random.default_rng(3)
+    x, e = small_domain(rng, d=30)
+    S = 25
+    res = sampler.greedy_entropy_sample(
+        x, e, jnp.ones((30,), bool),
+        jnp.zeros((S, 2)), jnp.zeros((S, 3)), jnp.zeros((S,), bool), jnp.zeros((S,)),
+        signal_var=1.0, num_slots=S, terminate_early=True, max_stdev_thresh=0.5,
+    )
+    v = np.array(res.valid)
+    assert v[0] and not v[-1]           # stopped before filling all slots
+    # validity is a packed prefix
+    first_invalid = int(np.argmin(v))
+    assert not v[first_invalid:].any()
+
+
+def test_dist_thresh_nms():
+    # cluster of nearly identical points + one far point: with a distance
+    # threshold the sampler must not pick two points from the cluster
+    x = jnp.array([[0.0, 0.0], [0.001, 0.0], [0.0, 0.001], [0.9, 0.9]], jnp.float32)
+    e = jnp.full((4, 3), 0.2).at[:, 2].set(0.0)
+    S = 3
+    res = sampler.greedy_entropy_sample(
+        x, e, jnp.ones((4,), bool),
+        jnp.zeros((S, 2)), jnp.zeros((S, 3)), jnp.zeros((S,), bool), jnp.zeros((S,)),
+        signal_var=1.0, num_slots=S, dist_thresh=0.1,
+    )
+    inds = set(np.array(res.domain_inds).tolist())
+    assert 3 in inds
+    assert len(inds & {0, 1, 2}) <= 1 + (1 if -1 in inds else 0)
+
+
+def test_pack_prefix():
+    coords = jnp.arange(10, dtype=jnp.float32).reshape(5, 2)
+    mask = jnp.array([False, True, False, True, False])
+    pc, pm = sampler.pack_prefix(coords, mask)
+    np.testing.assert_array_equal(np.array(pm), [True, True, False, False, False])
+    np.testing.assert_allclose(np.array(pc[:2]), [[2, 3], [6, 7]])
