@@ -1,0 +1,191 @@
+"""Anchor correspondence + new-landmark initialization on keyframe insertion.
+
+Spec: reference como/odom/frontend/corr.py (track_and_init): when a new
+keyframe arrives, reproject the previous KF's anchors and dense depth
+into it, re-distill anchor log-depths from the reprojected cloud through
+the new frame's GP, keep anchors that pass a two-sided log-depth
+consistency check + a log-depth-gradient discontinuity filter, subsample
+the survivors by greedy conditional entropy, then sample new anchors to
+fill the budget and solve their depths conditioned on the tracked ones.
+
+Static-shape redesign: anchor sets stay (M,) with masks; the reference's
+boolean filtering becomes weighting (distill) and sentinel placement
+(invalid anchors are parked at distinct far-away coordinates so their
+kernel columns decouple); the greedy sampler consumes packed prefixes.
+Outputs carry the tracked-slot -> old-anchor-index permutation needed for
+landmark inheritance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from como_tpu.geometry import lie
+from como_tpu.gp import distill, kernels, predictor, sampler
+from como_tpu.ops import image as img_ops
+from como_tpu.ops.coords import coord_grid_rc, normalize_coords
+from como_tpu.ops.interp import bilinear_sample
+
+HIGH = jax.lax.Precision.HIGHEST
+
+
+class CorrResult(NamedTuple):
+    coords_all: jax.Array    # (M, 2) anchor pixels (xy) in the NEW keyframe
+    z_all: jax.Array         # (M,) anchor depths in the new keyframe
+    tracked: jax.Array       # (M,) bool: slot is a tracked correspondence
+    src_anchor: jax.Array    # (M,) int32: old-KF anchor index for tracked
+    valid: jax.Array         # (M,) slot validity (all True normally)
+
+
+def _reproject(pm_xy, z, Tji, K):
+    ray = jnp.stack([(pm_xy[..., 0] - K[0, 2]) / K[0, 0],
+                     (pm_xy[..., 1] - K[1, 2]) / K[1, 1],
+                     jnp.ones_like(z)], -1)
+    P = z[..., None] * ray
+    Pj = jnp.einsum("ij,nj->ni", Tji[:3, :3], P, precision=HIGH) + Tji[:3, 3]
+    zj = Pj[..., 2]
+    zs = jnp.where(jnp.abs(zj) > 1e-9, zj, 1e-9)
+    pj = jnp.stack([K[0, 0] * Pj[..., 0] / zs + K[0, 2],
+                    K[1, 1] * Pj[..., 1] / zs + K[1, 2]], -1)
+    return pj, zj
+
+
+@partial(jax.jit, static_argnames=("M", "cfg"))
+def track_and_init(pose1, pose2, pm1_xy, logzm1, depth_img1, cov_img2,
+                   K, scale, M: int, cfg) -> CorrResult:
+    """cfg: hashable CorrStatic (thresholds).  depth_img1 (H, W)."""
+    H, W = depth_img1.shape
+    dtype = depth_img1.dtype
+    Tji = lie.invert_se3(pose2) @ pose1
+    Tij = lie.invert_se3(Tji)
+
+    # -- reproject anchors + dense cloud into the new frame ------------------
+    zm1 = jnp.exp(logzm1)
+    pj_m, zj_m = _reproject(pm1_xy, zm1, Tji, K)
+    rc = coord_grid_rc((H, W), dtype=dtype)
+    xy_n = jnp.stack([rc[:, 1], rc[:, 0]], -1)
+    z_n1 = depth_img1.reshape(-1)
+    pj_n, zj_n = _reproject(xy_n, z_n1, Tji, K)
+
+    def interior(p, z):
+        return ((p[..., 0] >= 1) & (p[..., 0] < W - 1)
+                & (p[..., 1] >= 1) & (p[..., 1] < H - 1)
+                & (z > cfg.min_obs_depth))
+
+    mask_m = interior(pj_m, zj_m)
+    mask_n = interior(pj_n, zj_n)
+
+    # park invalid anchors at distinct far coords so their kernel columns
+    # decouple (static-shape replacement for the reference's row filtering)
+    sent = jnp.stack([-10.0 - 3.0 * jnp.arange(M, dtype=dtype),
+                      jnp.full((M,), -10.0, dtype)], -1)
+    coords_m_norm = jnp.where(mask_m[:, None],
+                              normalize_coords(jnp.stack([pj_m[:, 1], pj_m[:, 0]], -1),
+                                               jnp.array([H, W], dtype=dtype)),
+                              sent)
+    coords_n_norm = normalize_coords(jnp.stack([pj_n[:, 1], pj_n[:, 0]], -1),
+                                     jnp.array([H, W], dtype=dtype))
+
+    # -- GP distill of tracked anchor depths --------------------------------
+    e_m = kernels.interpolate_cov_params(cov_img2, coords_m_norm)
+    e_n = cov_img2.reshape(3, -1).T
+    K_mm, K_nm, K_nn_diag = predictor.kernel_matrices(
+        coords_m_norm, e_m, coords_n_norm, e_n, scale)
+    pred = predictor.build_predictor(K_mm, K_nm, jitter=1e-6)
+    stdev_inv = predictor.predictive_stdev_inv(K_nm, pred.Knm_Kmminv, K_nn_diag)
+    logz_obs = jnp.log(jnp.maximum(zj_n, 1e-9))
+    logz_m, resid = distill.distill_depth(
+        pred.Knm_Kmminv, logz_obs, mask_n,
+        with_prior=cfg.distill_with_prior, L_mm=pred.L_mm, stdev_inv_obs=stdev_inv)
+    z_m = jnp.exp(logz_m)
+
+    # -- two-sided consistency + discontinuity filters -----------------------
+    err_j = jnp.abs(jnp.log(jnp.maximum(zj_m, 1e-9)) - logz_m)
+    pi_m, zi_m = _reproject(pj_m, z_m, Tij, K)
+    z_back = bilinear_sample(depth_img1[None], pi_m, padding="zeros")[0]
+    err_i = jnp.abs(jnp.log(jnp.maximum(z_back, 1e-9))
+                    - jnp.log(jnp.maximum(zi_m, 1e-9)))
+    corr_err = jnp.maximum(err_i, err_j)
+
+    logd = jnp.log(jnp.maximum(depth_img1, 1e-9))[None, None]
+    lgx, lgy = img_ops.image_gradients(logd)
+    gmag = jnp.sqrt(lgx[0, 0] ** 2 + lgy[0, 0] ** 2)
+    gref = bilinear_sample(gmag[None], pm1_xy, padding="zeros")[0]
+
+    cand = (mask_m & (corr_err < cfg.corr_thresh)
+            & (gref < cfg.logz_grad_mag_thresh))
+
+    # -- greedy-entropy subsample of tracked candidates ----------------------
+    res_keep = sampler.greedy_entropy_sample(
+        coords_m_norm, e_m, cand,
+        jnp.zeros((M, 2), dtype), jnp.zeros((M, 3), dtype),
+        jnp.zeros((M,), bool), jnp.zeros((M,), dtype),
+        signal_var=scale, fixed_var=cfg.fixed_var,
+        max_stdev_thresh=cfg.max_stdev_thresh, dist_thresh=cfg.dist_thresh,
+        num_slots=M, terminate_early=True,
+    )
+    keep_idx = jnp.where(res_keep.is_new, res_keep.domain_inds, 0)
+    n_keep = jnp.sum(res_keep.is_new)
+
+    # packed tracked prefix: slot s (< n_keep) <- candidate keep_idx[s]
+    tracked_slot = jnp.arange(M) < n_keep
+    src_anchor = jnp.where(tracked_slot, keep_idx, -1).astype(jnp.int32)
+    coords_tr_norm = jnp.where(tracked_slot[:, None], coords_m_norm[keep_idx], sent)
+    e_tr = e_m[keep_idx]
+    z_tr = z_m[keep_idx]
+
+    # -- fill remaining slots with new anchors over the full image -----------
+    dom_norm, e_dom, dom_valid, dom_rc = sampler.full_image_domain(
+        cov_img2, border=cfg.border)
+    res_new = sampler.greedy_entropy_sample(
+        dom_norm, e_dom, dom_valid,
+        coords_tr_norm, e_tr, tracked_slot, jnp.zeros((M,), dtype),
+        signal_var=scale, fixed_var=cfg.fixed_var,
+        max_stdev_thresh=cfg.max_stdev_thresh, dist_thresh=cfg.dist_thresh,
+        num_slots=M, terminate_early=False,
+    )
+    new_slot = res_new.is_new                             # (M,)
+    coords_all_norm = jnp.where(tracked_slot[:, None], coords_tr_norm,
+                                res_new.coords_norm)
+    e_all = jnp.where(tracked_slot[:, None], e_tr, res_new.covs)
+
+    # -- conditional distill for the new anchors -----------------------------
+    K_mm2, K_nm2, _ = predictor.kernel_matrices(
+        coords_all_norm, e_all, coords_n_norm, e_n, scale)
+    pred2 = predictor.build_predictor(K_mm2, K_nm2, jitter=1e-6)
+    resid_var = jnp.sum(jnp.square(resid) * mask_n) / jnp.maximum(
+        jnp.sum(mask_n) - 1, 1)
+    sigma_r = jnp.sqrt(resid_var) + 1e-9
+    logz1 = jnp.where(tracked_slot, jnp.log(jnp.maximum(z_tr, 1e-9)), 0.0)
+    logz2 = distill.distill_conditional_depth(
+        pred2.Knm_Kmminv, logz_obs, mask_n & (zj_n > 0.0), logz1, tracked_slot,
+        jnp.full_like(logz_obs, 1.0 / sigma_r), sigma_median=cfg.sigma_median)
+
+    z_all = jnp.where(tracked_slot, z_tr, jnp.exp(logz2))
+    # new-anchor pixel coords from the sampler's domain grid
+    rc_all = jnp.where(
+        tracked_slot[:, None],
+        jnp.stack([pj_m[keep_idx][:, 1], pj_m[keep_idx][:, 0]], -1),
+        dom_rc[jnp.maximum(res_new.domain_inds, 0)],
+    )
+    coords_all_xy = jnp.stack([rc_all[:, 1], rc_all[:, 0]], -1)
+
+    return CorrResult(coords_all=coords_all_xy, z_all=z_all,
+                      tracked=tracked_slot, src_anchor=src_anchor,
+                      valid=tracked_slot | new_slot)
+
+
+class CorrStatic(NamedTuple):
+    corr_thresh: float = 3e-2
+    min_obs_depth: float = 0.0
+    logz_grad_mag_thresh: float = 7e-2
+    distill_with_prior: bool = True
+    max_stdev_thresh: float = 1e-2
+    border: int = 3
+    dist_thresh: float = 1e-1
+    fixed_var: float = 0.0
+    sigma_median: float = 5e-2

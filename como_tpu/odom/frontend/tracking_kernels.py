@@ -26,7 +26,7 @@ from jax import lax
 from como_tpu.geometry import lie
 from como_tpu.geometry.camera import project, transform_project
 from como_tpu.ops.interp import bilinear_sample
-from como_tpu.ops.linalg import masked_mad_sigma
+from como_tpu.ops.reduce import fast_mad_sigma
 
 HUBER_K = 1.345
 
@@ -43,7 +43,6 @@ class TrackLevel(NamedTuple):
     P: jax.Array         # (N, 3) 3D points in the reference KF frame
     J_ic: jax.Array      # (N, 8) IC Jacobian dI/d[xi(6), a, b] (a-col live)
     mask: jax.Array      # (N,) sample validity
-    img_size: tuple      # static (H, W) of this level
     K: jax.Array         # (3, 3) level intrinsics
 
 
@@ -54,7 +53,7 @@ def precalc_ic_jacobians(grads: jax.Array, P: jax.Array, K: jax.Array) -> jax.Ar
     _, dp_dP = project(K, P)                                # (N, 2, 3)
     dP_dxi = jnp.concatenate([-lie.skew(P), jnp.broadcast_to(
         jnp.eye(3, dtype=P.dtype), P.shape[:-1] + (3, 3))], axis=-1)  # (N, 3, 6)
-    dI_dxi = jnp.einsum("nk,nkj->nj", grads @ jnp.eye(2, dtype=P.dtype),
+    dI_dxi = jnp.einsum("nk,nkj->nj", grads,
                         jnp.einsum("nij,njk->nik", dp_dP, dP_dxi))
     ab = jnp.concatenate([jnp.zeros_like(P[:, :1]), jnp.ones_like(P[:, :1])], axis=-1)
     return jnp.concatenate([dI_dxi, ab], axis=-1)
@@ -63,7 +62,7 @@ def precalc_ic_jacobians(grads: jax.Array, P: jax.Array, K: jax.Array) -> jax.Ar
 def _level_solve(Tji, aff, lvl: TrackLevel, img_j, photo_sigma, term):
     """One pyramid level: while_loop of IC iterations on device."""
     N = lvl.vals.shape[0]
-    H, W = lvl.img_size
+    H, W = img_j.shape[-2:]
     dtype = lvl.vals.dtype
 
     def gn_iter(Tji, aff):
@@ -79,7 +78,7 @@ def _level_solve(Tji, aff, lvl: TrackLevel, img_j, photo_sigma, term):
         r = tmp + b - lvl.vals
         J = lvl.J_ic.at[:, 6].set(-tmp)
 
-        sigma = masked_mad_sigma(r, valid) + 1e-12
+        sigma = fast_mad_sigma(r, valid) + 1e-12
         wr = r / sigma
         w = huber_weight(wr) * valid / (sigma * sigma)
 

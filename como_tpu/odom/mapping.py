@@ -1,0 +1,469 @@
+"""Mapping backend state machine: sliding-window keyframe BA.
+
+Spec: reference como/odom/Mapping.py — two-frame bootstrap, keyframe /
+one-way-frame insertion (correspondence transfer + GP predictor prep +
+window shift), and per-call GN iteration.  Host code here only does
+bookkeeping (timestamps, landmark slot allocation, pair lists); all
+tensor work is in jitted kernels (gn_step, corr, sfm, prep_keyframe).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from como_tpu.config import MappingConfig
+from como_tpu.geometry import affine, lie, transforms
+from como_tpu.gp import kernels, sampler
+from como_tpu.net.depthcov import DepthCovPrior
+from como_tpu.odom import window as win
+from como_tpu.odom.backend import pairs as pairs_mod
+from como_tpu.odom.backend.gn_step import SigmaStatic, gn_step
+from como_tpu.odom.frontend import corr as corr_mod
+from como_tpu.odom.frontend import sfm as sfm_mod
+from como_tpu.ops import image as img_ops
+from como_tpu.ops.coords import coord_grid_rc, normalize_coords
+
+HIGH = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnames=("nms_window",))
+def prep_keyframe(rgb, cov_img, coords_m_xy, K, scale, nms_window: int):
+    """Per-KF device arrays: img+grads, GP predictor, dense-site cache.
+
+    (reference Mapping.get_img_and_grads + prep_predictor +
+    sparse_map.subselect_pixels — the dense-site selection is cached per
+    keyframe here since it is deterministic given the image.)
+    """
+    H, W = rgb.shape[-2:]
+    dtype = rgb.dtype
+    gray = img_ops.rgb_to_gray(rgb)
+    iag = img_ops.img_and_grads(gray)[0]                  # (3, H, W)
+
+    rc_m = jnp.stack([coords_m_xy[:, 1], coords_m_xy[:, 0]], -1)
+    m_norm = normalize_coords(rc_m, jnp.array([H, W], dtype))
+    e_m = kernels.interpolate_cov_params(cov_img, m_norm)
+    M = coords_m_xy.shape[0]
+    K_mm = kernels.cross_covariance(m_norm, e_m, m_norm, e_m, scale)
+    L_mm = jnp.linalg.cholesky(K_mm + 1e-6 * jnp.eye(M, dtype=dtype))
+    from como_tpu.ops.linalg import cholesky_inverse
+    Kmm_inv = cholesky_inverse(L_mm)
+
+    rc_all = coord_grid_rc((H, W), dtype)
+    n_norm = normalize_coords(rc_all, jnp.array([H, W], dtype))
+    e_n = cov_img.reshape(3, -1).T
+    K_nm = kernels.cross_covariance(n_norm, e_n, m_norm, e_m, scale)
+    Knm_full = jnp.matmul(K_nm, Kmm_inv, precision=HIGH)  # (HW, M)
+    colmean = jnp.mean(Knm_full, axis=0)
+
+    # dense photometric sites: max-gradient pixel per nms_window^2 window
+    gmag2 = iag[1] ** 2 + iag[2] ** 2                     # (H, W)
+    nw = nms_window
+    g4 = gmag2.reshape(H // nw, nw, W // nw, nw).transpose(0, 2, 1, 3)
+    g4 = g4.reshape(H // nw, W // nw, nw * nw)
+    arg = jnp.argmax(g4, axis=-1)
+    dr = arg // nw
+    dc = arg % nw
+    rows = (jnp.arange(H // nw)[:, None] * nw + dr).reshape(-1)
+    cols = (jnp.arange(W // nw)[None, :] * nw + dc).reshape(-1)
+    dense_rc = jnp.stack([rows, cols], -1).astype(dtype)  # (ND, 2)
+    flat_idx = (rows * W + cols)
+    dense_vals = gray[0, 0].reshape(-1)[flat_idx]
+    dense_knm = Knm_full[flat_idx]
+
+    return dict(iag=iag, Kmm_inv=Kmm_inv, L_mm=L_mm, Knm_full=Knm_full,
+                knm_colmean=colmean, dense_rc=dense_rc, dense_vals=dense_vals,
+                dense_knm=dense_knm)
+
+
+@partial(jax.jit, static_argnames=("hw",))
+def dense_depth_image(Knm_full, logzm, hw):
+    logz = jnp.matmul(Knm_full, logzm[:, None], precision=HIGH)[:, 0]
+    return jnp.exp(logz).reshape(hw)
+
+
+@partial(jax.jit, static_argnames=("M", "border", "dist_thresh", "stdev_thresh",
+                                   "fixed_var"))
+def sample_initial_anchors(cov_img, scale, M: int, border: int,
+                           dist_thresh: float, stdev_thresh: float,
+                           fixed_var: float):
+    dom_norm, e_dom, dom_valid, dom_rc = sampler.full_image_domain(cov_img, border)
+    res = sampler.greedy_entropy_sample(
+        dom_norm, e_dom, dom_valid,
+        jnp.zeros((M, 2), dom_norm.dtype), jnp.zeros((M, 3), dom_norm.dtype),
+        jnp.zeros((M,), bool), jnp.zeros((M,), dom_norm.dtype),
+        signal_var=scale, fixed_var=fixed_var, max_stdev_thresh=stdev_thresh,
+        dist_thresh=dist_thresh, num_slots=M, terminate_early=False)
+    rc = dom_rc[jnp.maximum(res.domain_inds, 0)]
+    return rc  # (M, 2) row/col anchor coords
+
+
+class Mapping:
+    def __init__(self, cfg: MappingConfig, intrinsics, img_size):
+        self.cfg = cfg
+        self.K = intrinsics
+        self.img_size = tuple(img_size)
+        self.is_init = False
+
+    # -- setup ----------------------------------------------------------------
+    def setup(self):
+        cfg = self.cfg
+        self.dims = win.make_dims(
+            num_kf=cfg.graph.num_keyframes, num_ow=cfg.graph.num_one_way_frames,
+            M=cfg.sampling.max_num_coords, img_size=self.img_size,
+            nms_window=cfg.photo_construction.nonmax_suppression_window)
+        self.state = win.empty_state(self.dims)
+        self.alloc = win.LandmarkAllocator(self.dims.L)
+        self.anchor_lm_host = np.zeros((self.dims.K, self.dims.M), np.int32)
+        self.kf_ts: List[float] = []
+        self.ow_ts: List[float] = []
+        self.num_kf = 0
+        self.num_ow = 0
+        self.prior = DepthCovPrior(mode=cfg.prior, model_path=cfg.model_path)
+        self.scale = self.prior.scale
+        self.sigmas = SigmaStatic(
+            photo=cfg.sigmas.photo, mean_depth_prior=cfg.sigmas.mean_depth_prior,
+            scale_prior=cfg.sigmas.scale_prior, pose_prior=cfg.sigmas.pose_prior,
+            gp_prior=cfg.sigmas.gp_prior, log_depth_first=cfg.sigmas.log_depth_first,
+            pixel_first=cfg.sigmas.pixel_first)
+        self.corr_cfg = corr_mod.CorrStatic(
+            corr_thresh=cfg.corr.corr_thresh, min_obs_depth=cfg.corr.min_obs_depth,
+            logz_grad_mag_thresh=cfg.corr.logz_grad_mag_thresh,
+            distill_with_prior=cfg.corr.distill_with_prior,
+            max_stdev_thresh=cfg.sampling.max_stdev_thresh,
+            border=cfg.sampling.border, dist_thresh=cfg.sampling.dist_thresh,
+            fixed_var=cfg.sampling.fixed_var, sigma_median=cfg.sigmas.distill_median)
+        self.sfm_term = dict(max_iter=cfg.init.max_iter,
+                             delta_norm=cfg.init.delta_norm,
+                             rel_tol=cfg.init.rel_tol)
+        self._sfm_ref = None
+        self._pairs = None
+        self.converged = False
+        self.iter_count = 0
+
+    # -- two-frame bootstrap ----------------------------------------------------
+    def attempt_two_frame_init(self, timestamp, rgb) -> bool:
+        cfg = self.cfg
+        if self._sfm_ref is None:
+            cov_img = self.prior.cov_params(rgb)
+            coords_m_rc = sample_initial_anchors(
+                cov_img, self.scale, self.dims.M, cfg.sampling.border,
+                cfg.sampling.dist_thresh, cfg.sampling.max_stdev_thresh,
+                cfg.sampling.fixed_var)
+            ref = sfm_mod.setup_reference(
+                rgb, cov_img, coords_m_rc, self.K, self.scale,
+                cfg.init.start_level, cfg.init.end_level)
+            self._sfm_ref = dict(ref=ref, rgb=rgb, cov_img=cov_img,
+                                 coords_m_rc=coords_m_rc, ts=timestamp,
+                                 Tji=jnp.eye(4), logzm=jnp.zeros((self.dims.M,)))
+            return False
+
+        gray = img_ops.rgb_to_gray(rgb)
+        pyr = img_ops.image_pyramid(gray, cfg.init.start_level, cfg.init.end_level)
+        pyr3 = [img_ops.img_and_grads(p)[0] for p in pyr]
+        Tji, logzm, mean_logz, count, med = sfm_mod.sfm_align(
+            self._sfm_ref["ref"], pyr3, self._sfm_ref["Tji"],
+            self._sfm_ref["logzm"], _Hashable(self.sfm_term))
+        self._sfm_ref["Tji"], self._sfm_ref["logzm"] = Tji, logzm
+
+        n_pix = self.img_size[0] * self.img_size[1]
+        frac = float(count) / n_pix
+        kf_dist = float(jnp.linalg.norm(Tji[:3, 3]))
+        med_f = float(med)
+        if frac < cfg.init.kf_num_pixels_frac:
+            self._sfm_ref = None     # lost overlap: re-seed the reference
+            return False
+        if kf_dist <= cfg.init.kf_depth_motion_ratio * med_f:
+            return False
+
+        # accepted: first KF from the SfM reference, second via add_keyframe
+        r = self._sfm_ref
+        self._init_keyframe(r["rgb"], r["cov_img"], r["coords_m_rc"], logzm,
+                            r["ts"])
+        self.state = self.state._replace(scale_anchor=mean_logz)
+        pose2 = transforms.get_T_w_curr(jnp.eye(4)[None], Tji[None])[0]
+        self.add_keyframe(rgb, pose2, jnp.zeros((2,)), timestamp)
+        self._sfm_ref = None
+        self.is_init = True
+        return True
+
+    # -- keyframe insertion -------------------------------------------------------
+    def _init_keyframe(self, rgb, cov_img, coords_m_rc, logzm, timestamp):
+        """First keyframe with anchors + depths handed in by SfM
+        (reference Mapping.init_keyframe)."""
+        M = self.dims.M
+        coords_xy = jnp.stack([coords_m_rc[:, 1], coords_m_rc[:, 0]], -1)
+        prep = prep_keyframe(rgb, cov_img, coords_xy, self.K, self.scale,
+                             self.cfg.photo_construction.nonmax_suppression_window)
+        self.anchor_lm_host[0] = self.alloc.alloc(M)
+        pose = jnp.eye(4)
+        z = jnp.exp(logzm)
+        Pw = self._anchors_to_world(pose, coords_xy, z)
+        self._write_kf(slot=0, rgb=rgb, cov_img=cov_img, prep=prep, pose=pose,
+                       aff=jnp.zeros((2,)), coords_xy=coords_xy, logzm=logzm,
+                       obs_ref=jnp.ones((M,), bool), Pw_new=Pw,
+                       new_mask=np.ones(M, bool))
+        self.kf_ts = [timestamp]
+        self.num_kf = 1
+        st = self.state
+        self.state = st._replace(
+            pose_anchor=pose, aff_anchor=jnp.zeros((2,)),
+            kf_valid=st.kf_valid.at[0].set(True),
+            median_depth=st.median_depth.at[0].set(
+                jnp.exp(jnp.mean(logzm))),
+        )
+        self._refresh_median(0)
+        self._rebuild_pairs()
+
+    def _anchors_to_world(self, pose, coords_xy, z):
+        ray = jnp.stack([(coords_xy[:, 0] - self.K[0, 2]) / self.K[0, 0],
+                         (coords_xy[:, 1] - self.K[1, 2]) / self.K[1, 1],
+                         jnp.ones_like(z)], -1)
+        Pc = z[:, None] * ray
+        return jnp.einsum("ij,nj->ni", pose[:3, :3], Pc, precision=HIGH) + pose[:3, 3]
+
+    def _write_kf(self, slot, rgb, cov_img, prep, pose, aff, coords_xy, logzm,
+                  obs_ref, Pw_new, new_mask):
+        """Write all per-KF arrays at a slot; register landmarks."""
+        st = self.state
+        upd = dict(
+            kf_pose=st.kf_pose.at[slot].set(pose),
+            kf_aff=st.kf_aff.at[slot].set(aff),
+            kf_img=st.kf_img.at[slot].set(prep["iag"]),
+            kf_rgb=st.kf_rgb.at[slot].set(rgb[0]),
+            cov_img=st.cov_img.at[slot].set(cov_img),
+            Kmm_inv=st.Kmm_inv.at[slot].set(prep["Kmm_inv"]),
+            L_mm=st.L_mm.at[slot].set(prep["L_mm"]),
+            Knm_full=st.Knm_full.at[slot].set(prep["Knm_full"]),
+            knm_colmean=st.knm_colmean.at[slot].set(prep["knm_colmean"]),
+            dense_rc=st.dense_rc.at[slot].set(prep["dense_rc"]),
+            dense_vals=st.dense_vals.at[slot].set(prep["dense_vals"]),
+            dense_knm=st.dense_knm.at[slot].set(prep["dense_knm"]),
+            pm_first=st.pm_first.at[slot].set(coords_xy),
+            pm=st.pm.at[slot].set(coords_xy),
+            obs_ref=st.obs_ref.at[slot].set(obs_ref),
+            anchor_lm=st.anchor_lm.at[slot].set(
+                jnp.array(self.anchor_lm_host[slot])),
+            logzm=st.logzm.at[slot].set(logzm),
+        )
+        # register new landmark world points + validity
+        P_lm = st.P_lm
+        lm_valid = st.lm_valid
+        if new_mask.any():
+            new_slots = jnp.array(self.anchor_lm_host[slot][new_mask])
+            P_lm = P_lm.at[new_slots].set(Pw_new[jnp.array(np.where(new_mask)[0])])
+            lm_valid = lm_valid.at[new_slots].set(True)
+        self.state = st._replace(P_lm=P_lm, lm_valid=lm_valid, **upd)
+
+    def _refresh_median(self, slot):
+        st = self.state
+        d = dense_depth_image(st.Knm_full[slot], st.logzm[slot], self.img_size)
+        med = jnp.median(d)
+        self.state = st._replace(median_depth=st.median_depth.at[slot].set(med))
+
+    def add_keyframe(self, rgb, pose_init, aff_init, timestamp):
+        cfg = self.cfg
+        M, Kdim = self.dims.M, self.dims.K
+        st = self.state
+        last = self.num_kf - 1
+
+        cov_img = self.prior.cov_params(rgb)
+        depth_last = dense_depth_image(st.Knm_full[last], st.logzm[last],
+                                       self.img_size)
+        pose_init = lie.normalize_rotation(pose_init)
+
+        res = corr_mod.track_and_init(
+            st.kf_pose[last], pose_init, st.pm[last], st.logzm[last],
+            depth_last, cov_img, self.K, self.scale, M, self.corr_cfg)
+
+        tracked = np.array(res.tracked)
+        src = np.array(res.src_anchor)
+        n_new = int((~tracked).sum())
+
+        # landmark slots: inherit for tracked, allocate for new
+        new_row = np.zeros(M, np.int32)
+        new_row[tracked] = self.anchor_lm_host[last][src[tracked]]
+        new_row[~tracked] = self.alloc.alloc(n_new)
+
+        shifting = self.num_kf >= Kdim
+        if shifting:
+            dropped = self.anchor_lm_host[0].copy()
+            self.anchor_lm_host[:-1] = self.anchor_lm_host[1:]
+            self.anchor_lm_host[-1] = new_row
+            slot = Kdim - 1
+            # release landmarks no longer referenced by any KF
+            referenced = np.unique(self.anchor_lm_host[: Kdim])
+            released = np.setdiff1d(dropped, referenced)
+            self.alloc.release(released)
+            self.kf_ts = self.kf_ts[1:] + [timestamp]
+            self._roll_kf_arrays(released)
+        else:
+            slot = self.num_kf
+            self.anchor_lm_host[slot] = new_row
+            self.kf_ts.append(timestamp)
+            self.num_kf += 1
+
+        prep = prep_keyframe(rgb, cov_img, res.coords_all, self.K, self.scale,
+                             cfg.photo_construction.nonmax_suppression_window)
+        Pw_new = self._anchors_to_world(pose_init, res.coords_all, res.z_all)
+        self._write_kf(slot=slot, rgb=rgb, cov_img=cov_img, prep=prep,
+                       pose=pose_init, aff=aff_init, coords_xy=res.coords_all,
+                       logzm=jnp.log(jnp.maximum(res.z_all, 1e-9)),
+                       obs_ref=jnp.array(~tracked), Pw_new=Pw_new,
+                       new_mask=~tracked)
+
+        st = self.state
+        window_full = self.num_kf >= Kdim
+        upd = dict(kf_valid=st.kf_valid.at[slot].set(True),
+                   window_full=jnp.asarray(window_full))
+        if window_full or self.num_kf == 1:
+            # re-anchor gauge on the (new) oldest keyframe
+            aff0 = st.kf_aff[0]
+            upd["pose_anchor"] = st.kf_pose[0]
+            upd["kf_aff"] = st.kf_aff - aff0[None]
+            upd["aff_anchor"] = jnp.zeros((2,))
+            if window_full:
+                # freeze landmarks referenced by the new oldest KF
+                fix = np.zeros(self.dims.L, bool)
+                fix[self.anchor_lm_host[0]] = True
+                upd["P_anchor_mask"] = jnp.array(fix)
+                upd["P_anchor_vals"] = st.P_lm
+        self.state = st._replace(**upd)
+        self._refresh_median(slot)
+        self.prune_one_way()
+        self._rebuild_pairs()
+        self.converged = False
+        self.iter_count = 0
+
+    def _roll_kf_arrays(self, released_lms):
+        """Shift every per-KF array left by one slot (device)."""
+        st = self.state
+        def roll(a):
+            return jnp.concatenate([a[1:], a[-1:]], axis=0)
+        fields = ["kf_pose", "kf_aff", "kf_valid", "kf_img", "kf_rgb", "cov_img",
+                  "Kmm_inv", "L_mm", "Knm_full", "knm_colmean", "dense_rc",
+                  "dense_vals", "dense_knm", "pm_first", "pm", "obs_ref",
+                  "anchor_lm", "logzm", "median_depth"]
+        upd = {f: roll(getattr(st, f)) for f in fields}
+        lm_valid = st.lm_valid
+        if len(released_lms):
+            lm_valid = lm_valid.at[jnp.array(released_lms)].set(False)
+        self.state = st._replace(lm_valid=lm_valid, **upd)
+
+    # -- one-way frames ---------------------------------------------------------
+    def add_one_way_frame(self, rgb, pose_init, aff_init, timestamp):
+        st = self.state
+        O = self.dims.O
+        gray = img_ops.rgb_to_gray(rgb)
+        iag = img_ops.img_and_grads(gray)[0]
+        if self.num_ow >= O:
+            self.ow_ts = self.ow_ts[1:]
+            st = st._replace(ow_pose=jnp.concatenate([st.ow_pose[1:], st.ow_pose[-1:]]),
+                             ow_aff=jnp.concatenate([st.ow_aff[1:], st.ow_aff[-1:]]),
+                             ow_img=jnp.concatenate([st.ow_img[1:], st.ow_img[-1:]]),
+                             ow_valid=jnp.concatenate([st.ow_valid[1:], st.ow_valid[-1:]]))
+            self.num_ow -= 1
+        slot = self.num_ow
+        self.ow_ts.append(timestamp)
+        self.num_ow += 1
+        self.state = st._replace(
+            ow_pose=st.ow_pose.at[slot].set(lie.normalize_rotation(pose_init)),
+            ow_aff=st.ow_aff.at[slot].set(aff_init),
+            ow_img=st.ow_img.at[slot].set(iag),
+            ow_valid=st.ow_valid.at[slot].set(True),
+        )
+        self._rebuild_pairs()
+        self.converged = False
+
+    def prune_one_way(self):
+        """Drop one-way frames older than the oldest keyframe."""
+        if not self.kf_ts:
+            return
+        oldest = self.kf_ts[0]
+        r = 0
+        for i, t in enumerate(self.ow_ts):
+            if t < oldest:
+                r = i + 1
+        if r == 0:
+            return
+        st = self.state
+        keep = self.num_ow - r
+        def shift(a):
+            rolled = jnp.roll(a, -r, axis=0)
+            return rolled
+        ow_valid = jnp.arange(self.dims.O) < keep
+        self.state = st._replace(
+            ow_pose=shift(st.ow_pose), ow_aff=shift(st.ow_aff),
+            ow_img=shift(st.ow_img), ow_valid=ow_valid)
+        self.ow_ts = self.ow_ts[r:]
+        self.num_ow = keep
+
+    # -- frame-in handlers --------------------------------------------------------
+    def find_kf_from_timestamp(self, ts):
+        for i in range(len(self.kf_ts) - 1, -1, -1):
+            if self.kf_ts[i] == ts:
+                return i
+        return len(self.kf_ts) - 1
+
+    def handle_tracking_data(self, data):
+        kind, rgb, pose_curr_kf, aff_curr_kf, kf_ts, ts = data
+        kf_ind = self.find_kf_from_timestamp(float(kf_ts))
+        pose_w = transforms.get_T_w_curr(self.state.kf_pose[kf_ind][None],
+                                         pose_curr_kf[None])[0]
+        aff_w = affine.get_aff_w_curr(
+            self.state.kf_aff[kf_ind][None, :, None],
+            aff_curr_kf[None, :, None])[0, :, 0]
+        if kind == "keyframe":
+            self.add_keyframe(rgb, pose_w, aff_w, ts)
+            return True
+        self.add_one_way_frame(rgb, pose_w, aff_w, ts)
+        return False
+
+    # -- GN iteration ---------------------------------------------------------
+    def _rebuild_pairs(self):
+        pb = pairs_mod.build_pairs(self.num_kf, self.kf_ts, self.ow_ts,
+                                   self.dims.K, self.dims.P)
+        self._pairs = (jnp.array(pb.ref_kf), jnp.array(pb.target_slot),
+                       jnp.array(pb.valid))
+
+    def iterate(self):
+        self.state, stats = gn_step(self.state, *self._pairs, self.K,
+                                    self.dims, self.sigmas,
+                                    self.cfg.gn_damping)
+        self.iter_count += 1
+        return stats
+
+    # -- data out ----------------------------------------------------------------
+    def get_kf_ref_data(self, num_ref: int = 1):
+        st = self.state
+        lo = max(0, self.num_kf - num_ref)
+        idx = list(range(lo, self.num_kf))
+        depth = jnp.stack([
+            dense_depth_image(st.Knm_full[i], st.logzm[i], self.img_size)
+            for i in idx])[:, None]
+        return (self.kf_ts[lo:self.num_kf], st.kf_rgb[jnp.array(idx)],
+                st.kf_pose[jnp.array(idx)], st.kf_aff[jnp.array(idx)], depth)
+
+    def get_kf_viz_data(self):
+        st = self.state
+        n = self.num_kf
+        depth = jnp.stack([
+            dense_depth_image(st.Knm_full[i], st.logzm[i], self.img_size)
+            for i in range(n)])[:, None]
+        return dict(timestamps=list(self.kf_ts), rgbs=st.kf_rgb[:n],
+                    poses=st.kf_pose[:n], depths=depth,
+                    sparse_pm=st.pm[:n], P_lm=st.P_lm, lm_valid=st.lm_valid,
+                    ow_poses=st.ow_pose[: self.num_ow])
+
+
+class _Hashable(dict):
+    """Hashable dict wrapper for static jit args."""
+    def __hash__(self):
+        return hash(tuple(sorted(self.items())))
+
+    def __eq__(self, other):
+        return dict(self) == dict(other)

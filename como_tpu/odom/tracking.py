@@ -1,0 +1,196 @@
+"""Tracking frontend state machine.
+
+Spec: reference como/odom/Tracking.py — per-frame 6-DoF + affine tracking
+against the latest keyframe reference, with keyframe / one-way-frame
+decisions.  Host code here only orchestrates; every tensor op is jitted:
+  * build_reference: pyramids, per-level sample values, 3D points, IC
+    Jacobians (reference update_kf_reference:191-314),
+  * track_pyramid: the on-device coarse-to-fine IC solve,
+  * reproj_stats: coverage + median depth of the KF cloud in the current
+    frame (reference get_reproj_last_kf:169-188) for frame decisions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from como_tpu.config import TrackingConfig
+from como_tpu.geometry import affine, lie, transforms
+from como_tpu.geometry.camera import backproject, project
+from como_tpu.ops import image as img_ops
+from como_tpu.ops.coords import coord_grid_rc, fill_image
+from como_tpu.ops.reduce import histogram_median
+from como_tpu.odom.frontend import tracking_kernels as tk
+
+
+@partial(jax.jit, static_argnames=("start_level", "end_level", "depth_mode"))
+def build_reference(kf_rgb, kf_poses, depth, K, start_level: int, end_level: int,
+                    depth_mode: str):
+    """Build per-level TrackLevel reference data from KF data (B keyframes;
+    points from all B transformed into the last KF's frame, as in the
+    reference's multi-KF merge; B=1 is the default config)."""
+    B = kf_rgb.shape[0]
+    gray = img_ops.rgb_to_gray(kf_rgb)
+    img_pyr = img_ops.image_pyramid(gray, start_level, end_level)
+    depth_pyr = img_ops.depth_pyramid(depth, start_level, end_level, depth_mode)
+    K_pyr = img_ops.intrinsics_pyramid(K, start_level, end_level)
+
+    T_last = kf_poses[-1]
+    rel = lie.invert_se3(T_last)[None] @ kf_poses  # (B, 4, 4) to-last transforms
+
+    levels = []
+    for img_l, depth_l, K_l in zip(img_pyr, depth_pyr, K_pyr):
+        h, w = img_l.shape[-2:]
+        gx, gy = img_ops.image_gradients(img_l)
+        rc = coord_grid_rc((h, w), dtype=img_l.dtype)        # (N, 2)
+        xy = jnp.stack([rc[:, 1], rc[:, 0]], axis=-1)
+        vals = img_l.reshape(B, -1)                          # all pixels
+        grads = jnp.stack([gx.reshape(B, -1), gy.reshape(B, -1)], axis=-1)
+        z = depth_l.reshape(B, -1)[..., None]                # (B, N, 1)
+        P, _ = backproject(K_l, xy[None], z)                 # (B, N, 3)
+        P_last, _, _ = transforms.transform_points(rel, P)
+        # validity: projects near the last KF's frustum, depth positive
+        p_all, _ = project(K_l, P_last)
+        border = 50.0
+        mask = ((p_all[..., 0] >= -border) & (p_all[..., 0] <= w - 1 + border)
+                & (p_all[..., 1] >= -border) & (p_all[..., 1] <= h - 1 + border)
+                & (P_last[..., 2] > 1e-4))
+        J = jax.vmap(tk.precalc_ic_jacobians, in_axes=(0, 0, None))(grads, P_last, K_l)
+        levels.append(tk.TrackLevel(
+            vals=vals.reshape(-1), P=P_last.reshape(-1, 3), J_ic=J.reshape(-1, 8),
+            mask=mask.reshape(-1), K=K_l,
+        ))
+    return levels
+
+
+@partial(jax.jit, static_argnames=("img_hw",))
+def reproj_stats(P_full, mask_full, T_curr_kf, K, img_hw):
+    """Project the (finest-level, last-KF) point cloud into the current
+    frame; return (num_covered_pixels, median_depth) — the decision
+    scalars (reference get_reproj_last_kf + handle_frame:342-345)."""
+    P_curr, _, _ = transforms.transform_points(T_curr_kf[None], P_full[None])
+    p, _ = project(K, P_curr)
+    z = P_curr[0, :, 2]
+    h, w = img_hw
+    x, y = p[0, :, 0], p[0, :, 1]
+    valid = ((x > 0) & (x < w - 1) & (y > 0) & (y < h - 1) & (z > 0.0) & mask_full)
+    coords_rc = jnp.stack([y, x], axis=-1)
+    safe_rc = jnp.where(valid[:, None], coords_rc, -1.0)
+    depth_img = fill_image(safe_rc, z, (h, w), default_val=jnp.nan)
+    filled = jnp.logical_not(jnp.isnan(depth_img))
+    count = jnp.sum(filled)
+    med = histogram_median(jnp.where(filled, depth_img, 0.0), filled)
+    return count, med
+
+
+@dataclass
+class Tracking:
+    """Per-frame tracking state machine (host-side orchestration)."""
+    cfg: TrackingConfig
+    intrinsics: jax.Array
+    img_size: tuple
+
+    mapping_init: bool = False
+    levels: Optional[List] = None
+    T_curr_kf: Optional[jax.Array] = None
+    aff_curr_kf: Optional[jax.Array] = None
+    T_w_kf: Optional[jax.Array] = None
+    aff_w_kf: Optional[jax.Array] = None
+    kf_received_ts: float = -1.0
+    last_kf_sent_ts: float = -1.0
+    num_one_way_since_kf: int = 0
+
+    def setup(self):
+        self.term = tk.TermStatic(
+            max_iter=self.cfg.term_criteria.max_iter,
+            delta_norm=self.cfg.term_criteria.delta_norm,
+            rel_tol=self.cfg.term_criteria.rel_tol,
+            grad_norm=self.cfg.term_criteria.grad_norm,
+        )
+        self._reset_rel_vars()
+
+    def _reset_rel_vars(self):
+        self.T_curr_kf = jnp.eye(4, dtype=jnp.float32)
+        self.aff_curr_kf = jnp.zeros((2,), jnp.float32)
+
+    # -- keyframe reference ------------------------------------------------
+    def update_kf_reference(self, kf_data):
+        """kf_data = (timestamps, rgb (B,3,H,W), pose (B,4,4), aff (B,2),
+        depth (B,1,H,W)) — latest last (reference update_kf_reference)."""
+        timestamps, rgb, pose, aff, depth = kf_data
+        new_ts = float(timestamps[-1])
+
+        if new_ts > self.kf_received_ts and self.mapping_init:
+            # rebase current-frame-relative pose/affine onto the new KF
+            T_w_f = transforms.get_T_w_curr(self.T_w_kf, self.T_curr_kf)
+            self.T_curr_kf = transforms.get_rel_pose(T_w_f, pose[-1])
+            aff_w_f = affine.get_aff_w_curr(self.aff_w_kf[None, :, None],
+                                            self.aff_curr_kf[None, :, None])
+            self.aff_curr_kf = affine.get_rel_aff(
+                aff_w_f, aff[-1][None, :, None])[0, :, 0]
+            self.num_one_way_since_kf = 0
+        elif not self.mapping_init:
+            self.mapping_init = True
+            self.last_kf_sent_ts = new_ts
+
+        self.levels = build_reference(
+            rgb, pose, depth, self.intrinsics,
+            self.cfg.pyr.start_level, self.cfg.pyr.end_level,
+            self.cfg.pyr.depth_interp_mode,
+        )
+        self.kf_received_ts = new_ts
+        self.T_w_kf = pose[-1]
+        self.aff_w_kf = aff[-1]
+
+    # -- per-frame ----------------------------------------------------------
+    def handle_frame(self, timestamp: float, rgb: jax.Array):
+        gray = img_ops.rgb_to_gray(rgb)
+        img_pyr = img_ops.image_pyramid(gray, self.cfg.pyr.start_level,
+                                        self.cfg.pyr.end_level)
+        Tji, aff, _ = tk.track_pyramid(self.levels, img_pyr,
+                                       self.T_curr_kf, self.aff_curr_kf, self.term)
+        self.T_curr_kf, self.aff_curr_kf = Tji, aff
+        T_w_curr = transforms.get_T_w_curr(self.T_w_kf[None], Tji[None])[0]
+
+        finest = self.levels[-1]
+        count, med = reproj_stats(finest.P, finest.mask, Tji, finest.K,
+                                  tuple(self.img_size))
+        num_reproj = int(count)
+        median_depth = float(med)
+        kf_dist = float(jnp.linalg.norm(Tji[:3, 3]))
+        num_kf_pixels = finest.vals.shape[0]
+
+        track_data_map = None
+        frame_kind = None
+        kcfg = self.cfg.keyframing
+        if self.last_kf_sent_ts <= self.kf_received_ts:
+            if (kf_dist > kcfg.kf_depth_motion_ratio * median_depth
+                    or kcfg.kf_num_pixels_frac > num_reproj / num_kf_pixels):
+                frame_kind = "keyframe"
+                self.last_kf_sent_ts = timestamp
+        if frame_kind is None:
+            extra = 1 if self.last_kf_sent_ts > self.kf_received_ts else 0
+            thresh_scale = (1.0 + self.num_one_way_since_kf + extra) / (1.0 + kcfg.one_way_freq)
+            dist_thresh = kcfg.kf_depth_motion_ratio * median_depth
+            pixel_thresh = (1.0 - kcfg.kf_num_pixels_frac) * num_kf_pixels
+            num_empty = num_kf_pixels - num_reproj
+            if (kf_dist > thresh_scale * dist_thresh
+                    or num_empty > thresh_scale * pixel_thresh):
+                frame_kind = "one-way"
+                self.num_one_way_since_kf += 1
+
+        if frame_kind is not None:
+            track_data_map = (frame_kind, rgb, Tji, aff,
+                              self.kf_received_ts, timestamp)
+
+        track_data_viz = (timestamp, T_w_curr)
+        return track_data_viz, track_data_map
+
+    def get_curr_world_pose(self):
+        return transforms.get_T_w_curr(self.T_w_kf[None], self.T_curr_kf[None])[0]

@@ -1,0 +1,100 @@
+"""IC photometric tracking on the synthetic plane scene: track a frame
+with known relative pose from a keyframe with ground-truth depth, and
+require pose recovery to sub-millimeter / sub-milliradian accuracy."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from como_tpu.config import TrackingConfig
+from como_tpu.data.synthetic import PlaneScene
+from como_tpu.geometry import lie
+from como_tpu.odom import tracking as tr
+from como_tpu.odom.frontend import tracking_kernels as tk
+
+IMG = (96, 128)  # small for test speed
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return PlaneScene(img_size=IMG, seed=0)
+
+
+def make_tracking(scene):
+    cfg = TrackingConfig()
+    t = tr.Tracking(cfg=cfg, intrinsics=scene.K, img_size=IMG)
+    t.setup()
+    return t
+
+
+def test_track_known_motion(scene):
+    t = make_tracking(scene)
+    T_kf = jnp.eye(4)
+    rgb0, depth0 = scene.render(T_kf)
+    t.update_kf_reference(([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+    assert t.mapping_init
+
+    xi = jnp.array([0.01, -0.015, 0.008, 0.04, -0.02, 0.015])
+    T_w_curr = lie.se3_exp(xi)          # ground-truth world pose of frame
+    rgb1, _ = scene.render(T_w_curr)
+
+    (ts, T_w_est), _ = t.handle_frame(1 / 30.0, rgb1)
+    err = lie.se3_log(lie.invert_se3(T_w_est) @ T_w_curr)
+    rot_err = float(jnp.linalg.norm(err[:3]))
+    trans_err = float(jnp.linalg.norm(err[3:]))
+    assert rot_err < 2e-3, rot_err
+    assert trans_err < 2e-3, trans_err
+
+
+def test_track_sequence_accumulates(scene):
+    """Track 5 consecutive frames against one KF; drift must stay small."""
+    t = make_tracking(scene)
+    T_kf = jnp.eye(4)
+    rgb0, depth0 = scene.render(T_kf)
+    t.update_kf_reference(([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+
+    rng = np.random.default_rng(0)
+    T_true = jnp.eye(4)
+    for i in range(5):
+        xi = jnp.array(np.concatenate([
+            0.004 * rng.normal(size=3), 0.012 * rng.normal(size=3) + [0.01, 0, 0]
+        ]), dtype=jnp.float32)
+        T_true = T_true @ lie.se3_exp(xi)
+        rgb_i, _ = scene.render(T_true)
+        (_, T_w_est), _ = t.handle_frame((i + 1) / 30.0, rgb_i)
+    err = lie.se3_log(lie.invert_se3(T_w_est) @ T_true)
+    assert float(jnp.linalg.norm(err)) < 5e-3
+
+
+def test_affine_brightness_recovery(scene):
+    """Apply a gain/bias to the target frame; tracking must still converge
+    and absorb it in the affine parameters."""
+    t = make_tracking(scene)
+    T_kf = jnp.eye(4)
+    rgb0, depth0 = scene.render(T_kf)
+    t.update_kf_reference(([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+
+    xi = jnp.array([0.0, 0.0, 0.0, 0.02, 0.0, 0.0])
+    T_w_curr = lie.se3_exp(xi)
+    rgb1, _ = scene.render(T_w_curr)
+    rgb1 = jnp.clip(1.15 * rgb1 + 0.03, 0.0, 1.0)
+
+    (_, T_w_est), _ = t.handle_frame(1 / 30.0, rgb1)
+    err = lie.se3_log(lie.invert_se3(T_w_est) @ T_w_curr)
+    assert float(jnp.linalg.norm(err)) < 4e-3
+    # gain 1.15 -> a ~ +log(1.15) with I_corr = exp(-a) I_t + b
+    a = float(t.aff_curr_kf[0])
+    assert abs(a - np.log(1.15)) < 0.05
+
+
+def test_keyframe_decision_on_large_motion(scene):
+    t = make_tracking(scene)
+    T_kf = jnp.eye(4)
+    rgb0, depth0 = scene.render(T_kf)
+    t.update_kf_reference(([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+
+    # big translation: ~0.3 of median depth (2m) -> keyframe
+    T_w_curr = lie.se3_exp(jnp.array([0.0, 0.0, 0.0, 0.55, 0.0, 0.0]))
+    rgb1, _ = scene.render(T_w_curr)
+    _, track_map = t.handle_frame(1 / 30.0, rgb1)
+    assert track_map is not None and track_map[0] == "keyframe"
