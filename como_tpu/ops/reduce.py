@@ -26,12 +26,15 @@ def _masked_hist(x: jax.Array, w: jax.Array, lo, hi, bins: int) -> jax.Array:
     return jnp.matmul(w[None, :], onehot, precision=HIGH)[0]
 
 
-@partial(jax.jit, static_argnames=("bins", "passes"))
+@partial(jax.jit, static_argnames=("bins", "passes", "axis_name"))
 def histogram_median(x: jax.Array, mask: jax.Array, bins: int = 512,
-                     passes: int = 2) -> jax.Array:
+                     passes: int = 2, axis_name: str | None = None) -> jax.Array:
     """Approximate median of x[mask] (lower-middle convention ~ torch).
 
     Two refinement passes give resolution (max-min)/bins^passes.
+    With `axis_name`, computes the median over data sharded across a mesh
+    axis (histograms and extrema are psum'd/pmin'd across devices) —
+    the multi-chip BA's single collective-friendly robust statistic.
     """
     x = x.reshape(-1)
     w = mask.reshape(-1).astype(x.dtype)
@@ -39,10 +42,16 @@ def histogram_median(x: jax.Array, mask: jax.Array, bins: int = 512,
     big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
     lo = jnp.min(jnp.where(mask.reshape(-1), x, big))
     hi = jnp.max(jnp.where(mask.reshape(-1), x, -big))
+    if axis_name is not None:
+        n = jax.lax.psum(n, axis_name)
+        lo = jax.lax.pmin(lo, axis_name)
+        hi = jax.lax.pmax(hi, axis_name)
     target = (jnp.maximum(n - 1.0, 0.0)) // 2.0 + 1.0  # rank (1-based)
 
     for _ in range(passes):
         hist = _masked_hist(x, w, lo, hi, bins)
+        if axis_name is not None:
+            hist = jax.lax.psum(hist, axis_name)
         cum = jnp.cumsum(hist)
         b = jnp.argmax(cum >= target)  # first bin reaching the rank
         width = jnp.maximum(hi - lo, 1e-20) / bins
@@ -59,6 +68,7 @@ def histogram_median(x: jax.Array, mask: jax.Array, bins: int = 512,
     return 0.5 * (lo + hi)
 
 
-def fast_mad_sigma(r: jax.Array, mask: jax.Array) -> jax.Array:
+def fast_mad_sigma(r: jax.Array, mask: jax.Array,
+                   axis_name: str | None = None) -> jax.Array:
     """1.4826 * median(|r[mask]|) via histogram median (hot-path MAD)."""
-    return 1.4826 * histogram_median(jnp.abs(r), mask)
+    return 1.4826 * histogram_median(jnp.abs(r), mask, axis_name=axis_name)

@@ -1,0 +1,95 @@
+"""Queues (native + fallback) and the pipelined runtime."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from como_tpu.runtime import queues as q_mod
+
+
+@pytest.fixture(params=["native", "python"])
+def queue_factory(request):
+    if request.param == "native":
+        try:
+            q = q_mod.NativeQueue(4)
+        except Exception:
+            pytest.skip("native runtime unavailable")
+        return lambda n=4: q_mod.NativeQueue(n)
+    return lambda n=4: q_mod.PyQueue(n)
+
+
+def test_fifo(queue_factory):
+    q = queue_factory(4)
+    for i in range(3):
+        q.push(("msg", i))
+    assert q.pop()[1] == 0
+    assert q.pop()[1] == 1
+    assert q.qsize() == 1
+
+
+def test_drop_stale_push(queue_factory):
+    q = queue_factory(2)
+    for i in range(5):
+        q.push(i, block=False)
+    assert q.qsize() == 2
+    assert q.pop() == 3
+    assert q.pop() == 4
+
+
+def test_pop_until_latest(queue_factory):
+    q = queue_factory(4)
+    for i in range(4):
+        q.push(i)
+    assert q.pop_until_latest() == 3
+    assert q.qsize() == 0
+    assert q.pop_until_latest(timeout=0.01) is None
+
+
+def test_blocking_producer_consumer(queue_factory):
+    q = queue_factory(2)
+    got = []
+
+    def consumer():
+        while True:
+            v = q.pop(timeout=2.0)
+            if v is None or v == "end":
+                break
+            got.append(v)
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    for i in range(20):
+        assert q.push(i, block=True, timeout=2.0)
+    q.push("end")
+    t.join(5.0)
+    assert got == list(range(20))
+
+
+def test_pipeline_end_to_end():
+    """Full pipelined SLAM on the tiny synthetic scene."""
+    from como_tpu.config import ComoConfig
+    from como_tpu.data.synthetic import SyntheticDataset
+    from como_tpu.runtime.pipeline import ComoPipeline
+
+    IMG = (48, 64)
+    cfg = ComoConfig()
+    cfg.img_size = list(IMG)
+    cfg.mapping.graph.num_keyframes = 4
+    cfg.mapping.graph.num_one_way_frames = 4
+    cfg.mapping.sampling.max_num_coords = 16
+    cfg.mapping.sampling.border = 2
+    cfg.validate()
+
+    ds = SyntheticDataset(n_frames=20, img_size=IMG, seed=0, step=0.012)
+    eng = ComoPipeline(cfg, ds.intrinsics, IMG)
+    eng.setup()
+    for i in range(len(ds)):
+        ts, rgb = ds[i]
+        eng.step(float(ts), rgb)
+        time.sleep(0.01)  # let the 1-core host interleave the threads
+    eng.shutdown()
+    assert eng.mapping.is_init
+    assert len(eng.est_poses) > 5
+    assert np.all(np.isfinite(np.stack(eng.est_poses)))
