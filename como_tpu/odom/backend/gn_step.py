@@ -276,9 +276,8 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
 # ---------------------------------------------------------------------------
 # the full step
 
-@partial(jax.jit, static_argnames=("dims", "sigmas", "damping"))
-def gn_step(state: WindowState, pairs_ref, pairs_tgt, pairs_valid,
-            K_intr, dims: WindowDims, sigmas, damping: float = 1e-6):
+def _gn_step_impl(state: WindowState, pairs_ref, pairs_tgt, pairs_valid,
+                  K_intr, dims: WindowDims, sigmas, damping: float = 1e-6):
     """One GN iteration.  sigmas: hashable namedtuple (see SigmaStatic)."""
     sc = _scaffold(state, K_intr, dims)
     state = state._replace(P_lm=sc["P_lm_new"])
@@ -288,6 +287,16 @@ def gn_step(state: WindowState, pairs_ref, pairs_tgt, pairs_valid,
     photo = _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid,
                    K_intr, dims)
     return _finish(state, sc, dn, photo, K_intr, dims, sigmas, damping)
+
+
+gn_step = partial(jax.jit, static_argnames=("dims", "sigmas", "damping"))(
+    _gn_step_impl)
+# Owner-loop variant: donates the state buffers so unchanged fields alias
+# through instead of being copied every iteration (~160 MB at full size).
+# Callers must not reuse the input state afterwards (Mapping.iterate).
+gn_step_donating = partial(
+    jax.jit, static_argnames=("dims", "sigmas", "damping"),
+    donate_argnums=(0,))(_gn_step_impl)
 
 
 def _finish(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,

@@ -22,7 +22,7 @@ from como_tpu.gp import kernels, sampler
 from como_tpu.net.depthcov import DepthCovPrior
 from como_tpu.odom import window as win
 from como_tpu.odom.backend import pairs as pairs_mod
-from como_tpu.odom.backend.gn_step import SigmaStatic, gn_step
+from como_tpu.odom.backend.gn_step import SigmaStatic, gn_step_donating
 from como_tpu.odom.frontend import corr as corr_mod
 from como_tpu.odom.frontend import sfm as sfm_mod
 from como_tpu.ops import image as img_ops
@@ -84,6 +84,130 @@ def prep_keyframe(rgb, cov_img, coords_m_xy, K, scale, nms_window: int):
 def dense_depth_image(Knm_full, logzm, hw):
     logz = jnp.matmul(Knm_full, logzm[:, None], precision=HIGH)[:, 0]
     return jnp.exp(logz).reshape(hw)
+
+
+# --- jitted state-update kernels (keyframe / one-way insertion) -------------
+# Host code must not issue per-field eager ops: on a remote-attached TPU every
+# eager dispatch is a round trip, so each insertion path is one jit.
+
+@jax.jit
+def _write_kf_state(st, slot, pose, aff, prep, rgb, cov_img, coords_xy, logzm,
+                    obs_ref, lm_row, Pw_new, new_mask):
+    upd = st._replace(
+        kf_pose=st.kf_pose.at[slot].set(pose),
+        kf_aff=st.kf_aff.at[slot].set(aff),
+        kf_img=st.kf_img.at[slot].set(prep["iag"]),
+        kf_rgb=st.kf_rgb.at[slot].set(rgb[0]),
+        cov_img=st.cov_img.at[slot].set(cov_img),
+        Kmm_inv=st.Kmm_inv.at[slot].set(prep["Kmm_inv"]),
+        L_mm=st.L_mm.at[slot].set(prep["L_mm"]),
+        Knm_full=st.Knm_full.at[slot].set(prep["Knm_full"]),
+        knm_colmean=st.knm_colmean.at[slot].set(prep["knm_colmean"]),
+        dense_rc=st.dense_rc.at[slot].set(prep["dense_rc"]),
+        dense_vals=st.dense_vals.at[slot].set(prep["dense_vals"]),
+        dense_knm=st.dense_knm.at[slot].set(prep["dense_knm"]),
+        pm_first=st.pm_first.at[slot].set(coords_xy),
+        pm=st.pm.at[slot].set(coords_xy),
+        obs_ref=st.obs_ref.at[slot].set(obs_ref),
+        anchor_lm=st.anchor_lm.at[slot].set(lm_row),
+        logzm=st.logzm.at[slot].set(logzm),
+    )
+    P_lm = st.P_lm.at[lm_row].set(
+        jnp.where(new_mask[:, None], Pw_new, st.P_lm[lm_row]))
+    lm_valid = st.lm_valid.at[lm_row].set(st.lm_valid[lm_row] | new_mask)
+    # refresh this KF's median depth from the full-image GP prediction
+    logz = jnp.matmul(upd.Knm_full[slot], logzm[:, None], precision=HIGH)[:, 0]
+    med = jnp.median(jnp.exp(logz))
+    return upd._replace(P_lm=P_lm, lm_valid=lm_valid,
+                        median_depth=upd.median_depth.at[slot].set(med))
+
+
+@jax.jit
+def _roll_kf_state(st, released_mask):
+    def roll(a):
+        return jnp.concatenate([a[1:], a[-1:]], axis=0)
+    fields = ["kf_pose", "kf_aff", "kf_valid", "kf_img", "kf_rgb", "cov_img",
+              "Kmm_inv", "L_mm", "Knm_full", "knm_colmean", "dense_rc",
+              "dense_vals", "dense_knm", "pm_first", "pm", "obs_ref",
+              "anchor_lm", "logzm", "median_depth"]
+    upd = {f: roll(getattr(st, f)) for f in fields}
+    return st._replace(lm_valid=st.lm_valid & ~released_mask, **upd)
+
+
+@jax.jit
+def _finalize_kf_state(st, slot, window_full, reanchor, fix_mask):
+    st = st._replace(kf_valid=st.kf_valid.at[slot].set(True),
+                     window_full=window_full)
+    aff0 = st.kf_aff[0]
+    st = st._replace(
+        pose_anchor=jnp.where(reanchor, st.kf_pose[0], st.pose_anchor),
+        kf_aff=jnp.where(reanchor, st.kf_aff - aff0[None], st.kf_aff),
+        aff_anchor=jnp.where(reanchor, jnp.zeros_like(aff0), st.aff_anchor),
+        P_anchor_mask=jnp.where(window_full, fix_mask, st.P_anchor_mask),
+        P_anchor_vals=jnp.where(window_full, st.P_lm, st.P_anchor_vals),
+    )
+    return st
+
+
+@jax.jit
+def _ow_insert_state(st, slot, pose, aff, iag, roll_first):
+    def maybe_roll(a):
+        rolled = jnp.concatenate([a[1:], a[-1:]], axis=0)
+        return jnp.where(roll_first, rolled, a)
+    st = st._replace(ow_pose=maybe_roll(st.ow_pose), ow_aff=maybe_roll(st.ow_aff),
+                     ow_img=maybe_roll(st.ow_img), ow_valid=maybe_roll(st.ow_valid))
+    return st._replace(
+        ow_pose=st.ow_pose.at[slot].set(pose),
+        ow_aff=st.ow_aff.at[slot].set(aff),
+        ow_img=st.ow_img.at[slot].set(iag),
+        ow_valid=st.ow_valid.at[slot].set(True),
+    )
+
+
+@partial(jax.jit, static_argnames=("O",))
+def _ow_prune_state(st, r, keep, O: int):
+    def shift(a):
+        return jnp.roll(a, -r, axis=0)
+    return st._replace(ow_pose=shift(st.ow_pose), ow_aff=shift(st.ow_aff),
+                       ow_img=shift(st.ow_img),
+                       ow_valid=jnp.arange(O) < keep)
+
+
+@partial(jax.jit, static_argnames=("hw",))
+def _kf_ref_data_state(st, idx, hw):
+    depth = jnp.exp(jnp.matmul(st.Knm_full[idx], st.logzm[idx][:, None],
+                               precision=HIGH)[:, 0]).reshape(hw)
+    return (st.kf_rgb[idx][None], st.kf_pose[idx][None], st.kf_aff[idx][None],
+            depth[None, None])
+
+
+@jax.jit
+def _compose_world(kf_pose_k, kf_aff_k, pose_rel, aff_rel):
+    pose_w = transforms.get_T_w_curr(kf_pose_k[None], pose_rel[None])[0]
+    aff_w = affine.get_aff_w_curr(kf_aff_k[None, :, None],
+                                  aff_rel[None, :, None])[0, :, 0]
+    return lie.normalize_rotation(pose_w), aff_w
+
+
+@jax.jit
+def _prep_ow_img(rgb):
+    return img_ops.img_and_grads(img_ops.rgb_to_gray(rgb))[0]
+
+
+@partial(jax.jit, static_argnames=("start", "end"))
+def _sfm_pyr3(rgb, start: int, end: int):
+    gray = img_ops.rgb_to_gray(rgb)
+    pyr = img_ops.image_pyramid(gray, start, end)
+    return [img_ops.img_and_grads(p)[0] for p in pyr]
+
+
+@jax.jit
+def _anchors_world(pose, coords_xy, z, K):
+    ray = jnp.stack([(coords_xy[:, 0] - K[0, 2]) / K[0, 0],
+                     (coords_xy[:, 1] - K[1, 2]) / K[1, 1],
+                     jnp.ones_like(z)], -1)
+    Pc = z[:, None] * ray
+    return jnp.einsum("ij,nj->ni", pose[:3, :3], Pc, precision=HIGH) + pose[:3, 3]
 
 
 @partial(jax.jit, static_argnames=("M", "border", "dist_thresh", "stdev_thresh",
@@ -162,9 +286,7 @@ class Mapping:
                                  Tji=jnp.eye(4), logzm=jnp.zeros((self.dims.M,)))
             return False
 
-        gray = img_ops.rgb_to_gray(rgb)
-        pyr = img_ops.image_pyramid(gray, cfg.init.start_level, cfg.init.end_level)
-        pyr3 = [img_ops.img_and_grads(p)[0] for p in pyr]
+        pyr3 = _sfm_pyr3(rgb, cfg.init.start_level, cfg.init.end_level)
         Tji, logzm, mean_logz, count, med = sfm_mod.sfm_align(
             self._sfm_ref["ref"], pyr3, self._sfm_ref["Tji"],
             self._sfm_ref["logzm"], _Hashable(self.sfm_term))
@@ -202,68 +324,17 @@ class Mapping:
         self.anchor_lm_host[0] = self.alloc.alloc(M)
         pose = jnp.eye(4)
         z = jnp.exp(logzm)
-        Pw = self._anchors_to_world(pose, coords_xy, z)
-        self._write_kf(slot=0, rgb=rgb, cov_img=cov_img, prep=prep, pose=pose,
-                       aff=jnp.zeros((2,)), coords_xy=coords_xy, logzm=logzm,
-                       obs_ref=jnp.ones((M,), bool), Pw_new=Pw,
-                       new_mask=np.ones(M, bool))
+        Pw = _anchors_world(pose, coords_xy, z, self.K)
+        self.state = _write_kf_state(
+            self.state, jnp.int32(0), pose, jnp.zeros((2,)), prep, rgb,
+            cov_img, coords_xy, logzm, jnp.ones((M,), bool),
+            jnp.array(self.anchor_lm_host[0]), Pw, jnp.ones((M,), bool))
         self.kf_ts = [timestamp]
         self.num_kf = 1
-        st = self.state
-        self.state = st._replace(
-            pose_anchor=pose, aff_anchor=jnp.zeros((2,)),
-            kf_valid=st.kf_valid.at[0].set(True),
-            median_depth=st.median_depth.at[0].set(
-                jnp.exp(jnp.mean(logzm))),
-        )
-        self._refresh_median(0)
+        self.state = _finalize_kf_state(
+            self.state, jnp.int32(0), jnp.asarray(False), jnp.asarray(True),
+            jnp.zeros((self.dims.L,), bool))
         self._rebuild_pairs()
-
-    def _anchors_to_world(self, pose, coords_xy, z):
-        ray = jnp.stack([(coords_xy[:, 0] - self.K[0, 2]) / self.K[0, 0],
-                         (coords_xy[:, 1] - self.K[1, 2]) / self.K[1, 1],
-                         jnp.ones_like(z)], -1)
-        Pc = z[:, None] * ray
-        return jnp.einsum("ij,nj->ni", pose[:3, :3], Pc, precision=HIGH) + pose[:3, 3]
-
-    def _write_kf(self, slot, rgb, cov_img, prep, pose, aff, coords_xy, logzm,
-                  obs_ref, Pw_new, new_mask):
-        """Write all per-KF arrays at a slot; register landmarks."""
-        st = self.state
-        upd = dict(
-            kf_pose=st.kf_pose.at[slot].set(pose),
-            kf_aff=st.kf_aff.at[slot].set(aff),
-            kf_img=st.kf_img.at[slot].set(prep["iag"]),
-            kf_rgb=st.kf_rgb.at[slot].set(rgb[0]),
-            cov_img=st.cov_img.at[slot].set(cov_img),
-            Kmm_inv=st.Kmm_inv.at[slot].set(prep["Kmm_inv"]),
-            L_mm=st.L_mm.at[slot].set(prep["L_mm"]),
-            Knm_full=st.Knm_full.at[slot].set(prep["Knm_full"]),
-            knm_colmean=st.knm_colmean.at[slot].set(prep["knm_colmean"]),
-            dense_rc=st.dense_rc.at[slot].set(prep["dense_rc"]),
-            dense_vals=st.dense_vals.at[slot].set(prep["dense_vals"]),
-            dense_knm=st.dense_knm.at[slot].set(prep["dense_knm"]),
-            pm_first=st.pm_first.at[slot].set(coords_xy),
-            pm=st.pm.at[slot].set(coords_xy),
-            obs_ref=st.obs_ref.at[slot].set(obs_ref),
-            anchor_lm=st.anchor_lm.at[slot].set(
-                jnp.array(self.anchor_lm_host[slot])),
-            logzm=st.logzm.at[slot].set(logzm),
-        )
-        # register new landmark world points + validity
-        P_lm = st.P_lm
-        lm_valid = st.lm_valid
-        if new_mask.any():
-            new_slots = jnp.array(self.anchor_lm_host[slot][new_mask])
-            P_lm = P_lm.at[new_slots].set(Pw_new[jnp.array(np.where(new_mask)[0])])
-            lm_valid = lm_valid.at[new_slots].set(True)
-        self.state = st._replace(P_lm=P_lm, lm_valid=lm_valid, **upd)
-
-    def _refresh_median(self, slot):
-        st = self.state
-        d = dense_depth_image(st.Knm_full[slot], st.logzm[slot], self.img_size)
-        med = jnp.median(d)
-        self.state = st._replace(median_depth=st.median_depth.at[slot].set(med))
 
     def add_keyframe(self, rgb, pose_init, aff_init, timestamp):
         cfg = self.cfg
@@ -274,7 +345,6 @@ class Mapping:
         cov_img = self.prior.cov_params(rgb)
         depth_last = dense_depth_image(st.Knm_full[last], st.logzm[last],
                                        self.img_size)
-        pose_init = lie.normalize_rotation(pose_init)
 
         res = corr_mod.track_and_init(
             st.kf_pose[last], pose_init, st.pm[last], st.logzm[last],
@@ -300,7 +370,9 @@ class Mapping:
             released = np.setdiff1d(dropped, referenced)
             self.alloc.release(released)
             self.kf_ts = self.kf_ts[1:] + [timestamp]
-            self._roll_kf_arrays(released)
+            rel_mask = np.zeros(self.dims.L, bool)
+            rel_mask[released] = True
+            self.state = _roll_kf_state(self.state, jnp.array(rel_mask))
         else:
             slot = self.num_kf
             self.anchor_lm_host[slot] = new_row
@@ -309,73 +381,38 @@ class Mapping:
 
         prep = prep_keyframe(rgb, cov_img, res.coords_all, self.K, self.scale,
                              cfg.photo_construction.nonmax_suppression_window)
-        Pw_new = self._anchors_to_world(pose_init, res.coords_all, res.z_all)
-        self._write_kf(slot=slot, rgb=rgb, cov_img=cov_img, prep=prep,
-                       pose=pose_init, aff=aff_init, coords_xy=res.coords_all,
-                       logzm=jnp.log(jnp.maximum(res.z_all, 1e-9)),
-                       obs_ref=jnp.array(~tracked), Pw_new=Pw_new,
-                       new_mask=~tracked)
+        Pw_new = _anchors_world(pose_init, res.coords_all, res.z_all, self.K)
+        self.state = _write_kf_state(
+            self.state, jnp.int32(slot), pose_init, aff_init, prep, rgb,
+            cov_img, res.coords_all, jnp.log(jnp.maximum(res.z_all, 1e-9)),
+            jnp.array(~tracked), jnp.array(new_row), Pw_new,
+            jnp.array(~tracked))
 
-        st = self.state
         window_full = self.num_kf >= Kdim
-        upd = dict(kf_valid=st.kf_valid.at[slot].set(True),
-                   window_full=jnp.asarray(window_full))
-        if window_full or self.num_kf == 1:
-            # re-anchor gauge on the (new) oldest keyframe
-            aff0 = st.kf_aff[0]
-            upd["pose_anchor"] = st.kf_pose[0]
-            upd["kf_aff"] = st.kf_aff - aff0[None]
-            upd["aff_anchor"] = jnp.zeros((2,))
-            if window_full:
-                # freeze landmarks referenced by the new oldest KF
-                fix = np.zeros(self.dims.L, bool)
-                fix[self.anchor_lm_host[0]] = True
-                upd["P_anchor_mask"] = jnp.array(fix)
-                upd["P_anchor_vals"] = st.P_lm
-        self.state = st._replace(**upd)
-        self._refresh_median(slot)
+        fix = np.zeros(self.dims.L, bool)
+        if window_full:
+            fix[self.anchor_lm_host[0]] = True  # freeze new-oldest KF's landmarks
+        self.state = _finalize_kf_state(
+            self.state, jnp.int32(slot), jnp.asarray(window_full),
+            jnp.asarray(window_full), jnp.array(fix))
         self.prune_one_way()
         self._rebuild_pairs()
         self.converged = False
         self.iter_count = 0
 
-    def _roll_kf_arrays(self, released_lms):
-        """Shift every per-KF array left by one slot (device)."""
-        st = self.state
-        def roll(a):
-            return jnp.concatenate([a[1:], a[-1:]], axis=0)
-        fields = ["kf_pose", "kf_aff", "kf_valid", "kf_img", "kf_rgb", "cov_img",
-                  "Kmm_inv", "L_mm", "Knm_full", "knm_colmean", "dense_rc",
-                  "dense_vals", "dense_knm", "pm_first", "pm", "obs_ref",
-                  "anchor_lm", "logzm", "median_depth"]
-        upd = {f: roll(getattr(st, f)) for f in fields}
-        lm_valid = st.lm_valid
-        if len(released_lms):
-            lm_valid = lm_valid.at[jnp.array(released_lms)].set(False)
-        self.state = st._replace(lm_valid=lm_valid, **upd)
-
     # -- one-way frames ---------------------------------------------------------
     def add_one_way_frame(self, rgb, pose_init, aff_init, timestamp):
-        st = self.state
         O = self.dims.O
-        gray = img_ops.rgb_to_gray(rgb)
-        iag = img_ops.img_and_grads(gray)[0]
-        if self.num_ow >= O:
+        iag = _prep_ow_img(rgb)
+        roll_first = self.num_ow >= O
+        if roll_first:
             self.ow_ts = self.ow_ts[1:]
-            st = st._replace(ow_pose=jnp.concatenate([st.ow_pose[1:], st.ow_pose[-1:]]),
-                             ow_aff=jnp.concatenate([st.ow_aff[1:], st.ow_aff[-1:]]),
-                             ow_img=jnp.concatenate([st.ow_img[1:], st.ow_img[-1:]]),
-                             ow_valid=jnp.concatenate([st.ow_valid[1:], st.ow_valid[-1:]]))
             self.num_ow -= 1
         slot = self.num_ow
         self.ow_ts.append(timestamp)
         self.num_ow += 1
-        self.state = st._replace(
-            ow_pose=st.ow_pose.at[slot].set(lie.normalize_rotation(pose_init)),
-            ow_aff=st.ow_aff.at[slot].set(aff_init),
-            ow_img=st.ow_img.at[slot].set(iag),
-            ow_valid=st.ow_valid.at[slot].set(True),
-        )
+        self.state = _ow_insert_state(self.state, jnp.int32(slot), pose_init,
+                                      aff_init, iag, jnp.asarray(roll_first))
         self._rebuild_pairs()
         self.converged = False
 
@@ -390,15 +427,9 @@ class Mapping:
                 r = i + 1
         if r == 0:
             return
-        st = self.state
         keep = self.num_ow - r
-        def shift(a):
-            rolled = jnp.roll(a, -r, axis=0)
-            return rolled
-        ow_valid = jnp.arange(self.dims.O) < keep
-        self.state = st._replace(
-            ow_pose=shift(st.ow_pose), ow_aff=shift(st.ow_aff),
-            ow_img=shift(st.ow_img), ow_valid=ow_valid)
+        self.state = _ow_prune_state(self.state, jnp.int32(r), jnp.int32(keep),
+                                     self.dims.O)
         self.ow_ts = self.ow_ts[r:]
         self.num_ow = keep
 
@@ -412,11 +443,9 @@ class Mapping:
     def handle_tracking_data(self, data):
         kind, rgb, pose_curr_kf, aff_curr_kf, kf_ts, ts = data
         kf_ind = self.find_kf_from_timestamp(float(kf_ts))
-        pose_w = transforms.get_T_w_curr(self.state.kf_pose[kf_ind][None],
-                                         pose_curr_kf[None])[0]
-        aff_w = affine.get_aff_w_curr(
-            self.state.kf_aff[kf_ind][None, :, None],
-            aff_curr_kf[None, :, None])[0, :, 0]
+        pose_w, aff_w = _compose_world(self.state.kf_pose[kf_ind],
+                                       self.state.kf_aff[kf_ind],
+                                       pose_curr_kf, aff_curr_kf)
         if kind == "keyframe":
             self.add_keyframe(rgb, pose_w, aff_w, ts)
             return True
@@ -431,7 +460,7 @@ class Mapping:
                        jnp.array(pb.valid))
 
     def iterate(self):
-        self.state, stats = gn_step(self.state, *self._pairs, self.K,
+        self.state, stats = gn_step_donating(self.state, *self._pairs, self.K,
                                     self.dims, self.sigmas,
                                     self.cfg.gn_damping)
         self.iter_count += 1
@@ -440,6 +469,10 @@ class Mapping:
     # -- data out ----------------------------------------------------------------
     def get_kf_ref_data(self, num_ref: int = 1):
         st = self.state
+        if num_ref == 1:  # hot path: one fused device call
+            rgb, pose, aff, depth = _kf_ref_data_state(
+                st, jnp.int32(self.num_kf - 1), self.img_size)
+            return (self.kf_ts[-1:], rgb, pose, aff, depth)
         lo = max(0, self.num_kf - num_ref)
         idx = list(range(lo, self.num_kf))
         depth = jnp.stack([

@@ -70,10 +70,11 @@ def build_reference(kf_rgb, kf_poses, depth, K, start_level: int, end_level: int
 
 
 @partial(jax.jit, static_argnames=("img_hw",))
-def reproj_stats(P_full, mask_full, T_curr_kf, K, img_hw):
-    """Project the (finest-level, last-KF) point cloud into the current
-    frame; return (num_covered_pixels, median_depth) — the decision
-    scalars (reference get_reproj_last_kf + handle_frame:342-345)."""
+def frame_stats(P_full, mask_full, T_curr_kf, T_w_kf, K, img_hw):
+    """One fused per-frame device call: current world pose + the three
+    decision scalars (coverage count, median reprojected depth, |t|)
+    (reference get_reproj_last_kf + handle_frame:342-345).  Returns
+    (T_w_curr (4,4), stats (3,)) so the host pulls a single bundle."""
     P_curr, _, _ = transforms.transform_points(T_curr_kf[None], P_full[None])
     p, _ = project(K, P_curr)
     z = P_curr[0, :, 2]
@@ -84,9 +85,23 @@ def reproj_stats(P_full, mask_full, T_curr_kf, K, img_hw):
     safe_rc = jnp.where(valid[:, None], coords_rc, -1.0)
     depth_img = fill_image(safe_rc, z, (h, w), default_val=jnp.nan)
     filled = jnp.logical_not(jnp.isnan(depth_img))
-    count = jnp.sum(filled)
+    count = jnp.sum(filled).astype(jnp.float32)
     med = histogram_median(jnp.where(filled, depth_img, 0.0), filled)
-    return count, med
+    T_w_curr = transforms.get_T_w_curr(T_w_kf[None], T_curr_kf[None])[0]
+    kf_dist = jnp.linalg.norm(T_curr_kf[:3, 3])
+    return T_w_curr, jnp.stack([count, med, kf_dist])
+
+
+@jax.jit
+def rebase_to_new_kf(T_w_kf_old, T_curr_kf, aff_w_kf_old, aff_curr_kf,
+                     new_pose, new_aff):
+    """Re-express current-frame-relative pose/affine against a new KF."""
+    T_w_f = transforms.get_T_w_curr(T_w_kf_old[None], T_curr_kf[None])[0]
+    T_rel = transforms.get_rel_pose(T_w_f, new_pose)
+    aff_w_f = affine.get_aff_w_curr(aff_w_kf_old[None, :, None],
+                                    aff_curr_kf[None, :, None])
+    aff_rel = affine.get_rel_aff(aff_w_f, new_aff[None, :, None])[0, :, 0]
+    return T_rel, aff_rel
 
 
 @dataclass
@@ -128,12 +143,9 @@ class Tracking:
 
         if new_ts > self.kf_received_ts and self.mapping_init:
             # rebase current-frame-relative pose/affine onto the new KF
-            T_w_f = transforms.get_T_w_curr(self.T_w_kf, self.T_curr_kf)
-            self.T_curr_kf = transforms.get_rel_pose(T_w_f, pose[-1])
-            aff_w_f = affine.get_aff_w_curr(self.aff_w_kf[None, :, None],
-                                            self.aff_curr_kf[None, :, None])
-            self.aff_curr_kf = affine.get_rel_aff(
-                aff_w_f, aff[-1][None, :, None])[0, :, 0]
+            self.T_curr_kf, self.aff_curr_kf = rebase_to_new_kf(
+                self.T_w_kf, self.T_curr_kf, self.aff_w_kf, self.aff_curr_kf,
+                pose[-1], aff[-1])
             self.num_one_way_since_kf = 0
         elif not self.mapping_init:
             self.mapping_init = True
@@ -156,14 +168,14 @@ class Tracking:
         Tji, aff, _ = tk.track_pyramid(self.levels, img_pyr,
                                        self.T_curr_kf, self.aff_curr_kf, self.term)
         self.T_curr_kf, self.aff_curr_kf = Tji, aff
-        T_w_curr = transforms.get_T_w_curr(self.T_w_kf[None], Tji[None])[0]
 
         finest = self.levels[-1]
-        count, med = reproj_stats(finest.P, finest.mask, Tji, finest.K,
-                                  tuple(self.img_size))
-        num_reproj = int(count)
-        median_depth = float(med)
-        kf_dist = float(jnp.linalg.norm(Tji[:3, 3]))
+        T_w_curr, stats = frame_stats(finest.P, finest.mask, Tji, self.T_w_kf,
+                                      finest.K, tuple(self.img_size))
+        stats = np.asarray(stats)  # single device->host pull per frame
+        num_reproj = int(stats[0])
+        median_depth = float(stats[1])
+        kf_dist = float(stats[2])
         num_kf_pixels = finest.vals.shape[0]
 
         track_data_map = None

@@ -32,6 +32,8 @@ class ComoSeq:
         self.timestamps: List[float] = []
         self.est_poses: List[np.ndarray] = []
         self.viz_listener = None
+        self.ref_period = 0.25  # seconds of *dataset time* between refreshes
+        self._last_ref_ts = -1e9
 
     def setup(self):
         self.tracking.setup()
@@ -53,13 +55,18 @@ class ComoSeq:
             ts, T_w_curr = track_viz
             pose_out = np.array(T_w_curr)
             if track_map is not None:
-                kf_updated = m.handle_tracking_data(track_map)
+                kf_updated = m.handle_tracking_data(track_map) or True
             m.iterate()
-            kf_updated = True  # poses refined every call, like MappingSeq
 
-        if kf_updated and m.is_init:
+        # refresh the tracking reference on keyframe/one-way insertion and
+        # periodically (poses refine every iterate; the reference resends
+        # each map() call — here the rebuild is rate-limited because it is
+        # itself device work)
+        refresh = kf_updated or (timestamp - self._last_ref_ts > self.ref_period)
+        if refresh and m.is_init:
             ref = m.get_kf_ref_data(self.cfg.mapping.track_ref_num_keyframes)
             self.tracking.update_kf_reference(ref)
+            self._last_ref_ts = timestamp
             if self.viz_listener is not None:
                 self.viz_listener(m.get_kf_viz_data())
 

@@ -98,8 +98,10 @@ def make_demo_state(dims: win.WindowDims, num_kf: int = 3, num_ow: int = 2,
         ow_ts.append(t_ow)
         t_ow += 0.2
 
+    # scale anchor convention: mean *predicted dense* log-depth of KF0
+    # (= colmean(Knm_full) . logzm), matching the SfM bootstrap
     st = st._replace(pose_anchor=st.kf_pose[0],
-                     scale_anchor=jnp.mean(st.logzm[0]))
+                     scale_anchor=jnp.dot(st.knm_colmean[0], st.logzm[0]))
     pb = pairs_mod.build_pairs(num_kf, kf_ts, ow_ts, dims.K, dims.P)
     pairs = (jnp.array(pb.ref_kf), jnp.array(pb.target_slot), jnp.array(pb.valid))
     return st, pairs, K_intr

@@ -1,0 +1,83 @@
+"""Full-size end-to-end run on the real TPU: 192x256, 9-KF window,
+synthetic sequence with ground truth -> per-stage timings, end-to-end
+FPS, and scale-aligned ATE.  The closest stand-in for the reference's
+TUM benchmark while no dataset is mounted.
+
+    python scripts/run_full_tpu.py --frames 150
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--img", type=int, nargs=2, default=[192, 256])
+    p.add_argument("--runtime", default="seq", choices=["seq", "pipeline"])
+    p.add_argument("--step", type=float, default=0.012)
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import numpy as np
+
+    from como_tpu.config import ComoConfig
+    from como_tpu.data.synthetic import SyntheticDataset
+    from como_tpu.utils.io import ate_rmse
+
+    IMG = tuple(args.img)
+    cfg = ComoConfig()
+    cfg.img_size = list(IMG)
+    cfg.validate()
+    ds = SyntheticDataset(n_frames=args.frames, img_size=IMG, seed=0,
+                          step=args.step)
+
+    if args.runtime == "seq":
+        from como_tpu.runtime.seq import ComoSeq as Engine
+    else:
+        from como_tpu.runtime.pipeline import ComoPipeline as Engine
+    eng = Engine(cfg, ds.intrinsics, IMG)
+    eng.setup()
+
+    print(f"device: {jax.devices()[0]}  frames: {len(ds)}  img: {IMG}")
+    t_compile0 = time.perf_counter()
+    # first frames trigger compilation; time them separately
+    warm = 0
+    t0 = time.perf_counter()
+    lat = []
+    for i in range(len(ds)):
+        ts, rgb = ds[i]
+        s = time.perf_counter()
+        eng.step(float(ts), rgb)
+        lat.append(time.perf_counter() - s)
+        if i == 20:  # consider compiled by now
+            warm = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            lat = []
+    if hasattr(eng, "shutdown"):
+        eng.shutdown()
+    n_steady = len(ds) - 21
+    steady = time.perf_counter() - t0
+    fps = n_steady / steady
+    lat = np.array(lat) * 1000
+
+    ts_arr = np.asarray(eng.timestamps)
+    idx = (ts_arr * 30.0).round().astype(int)
+    gt = np.array(ds.poses)[idx]
+    ate = ate_rmse(np.stack(eng.est_poses), gt, with_scale=True)
+
+    print(f"warmup(21 frames incl. compiles): {warm:.1f}s")
+    print(f"steady-state: {fps:.1f} FPS  "
+          f"(median {np.median(lat):.1f} ms, p90 {np.percentile(lat, 90):.1f} ms)")
+    print(f"num keyframes: {eng.mapping.num_kf}  one-way: {eng.mapping.num_ow}")
+    print(f"ATE RMSE (scale-aligned): {ate * 100:.2f} cm")
+
+
+if __name__ == "__main__":
+    main()
