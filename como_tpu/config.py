@@ -48,6 +48,7 @@ class TrackingConfig:
     pyr: PyrConfig = field(default_factory=PyrConfig)
     term_criteria: TermCriteria = field(default_factory=TermCriteria)
     photo_sigma: float = 1e-1
+    use_motion_model: bool = False  # constant-velocity IC warm start
     keyframing: KeyframingConfig = field(default_factory=KeyframingConfig)
 
 

@@ -163,6 +163,19 @@ def pack_prefix(coords: jax.Array, mask: jax.Array, *extras):
     return tuple(out)
 
 
+def random_uniform_sample(key, domain_valid: jax.Array, num_slots: int):
+    """Uniform anchor sampling without replacement over valid domain sites
+    (reference samplers.random_uniform — the alternative to greedy
+    conditional entropy selected by sampling.mode).  Returns (S,) indices
+    + validity (invalid when fewer valid sites than slots)."""
+    D = domain_valid.shape[0]
+    g = jax.random.gumbel(key, (D,))
+    score = jnp.where(domain_valid, g, -jnp.inf)
+    _, idx = jax.lax.top_k(score, num_slots)
+    valid = jnp.take(domain_valid, idx)
+    return idx.astype(jnp.int32), valid
+
+
 def full_image_domain(cov_img: jax.Array, border: int = 0):
     """Domain arrays for a packed (3, H, W) covariance image: normalized
     coords, packed covs, and a border-validity mask (reference

@@ -268,6 +268,8 @@ class Mapping:
         self._pairs = None
         self.converged = False
         self.iter_count = 0
+        self._last_stats = None
+        self._prev_err = float("inf")
 
     # -- two-frame bootstrap ----------------------------------------------------
     def attempt_two_frame_init(self, timestamp, rgb) -> bool:
@@ -399,6 +401,9 @@ class Mapping:
         self._rebuild_pairs()
         self.converged = False
         self.iter_count = 0
+        self._prev_err = float("inf")
+        self.iter_count = 0
+        self._prev_err = float("inf")
 
     # -- one-way frames ---------------------------------------------------------
     def add_one_way_frame(self, rgb, pose_init, aff_init, timestamp):
@@ -464,7 +469,30 @@ class Mapping:
                                     self.dims, self.sigmas,
                                     self.cfg.gn_damping)
         self.iter_count += 1
+        self._last_stats = stats
         return stats
+
+    def maybe_iterate(self):
+        """One GN iteration unless converged (reference term_criteria,
+        Mapping.py:959-964 — present in the reference config but its
+        checks are commented out there; implemented here: after each
+        insertion up to max_iter iterations run, stopping early on
+        delta_norm / rel_tol).  Convergence is evaluated from the
+        *previous* iteration's stats so no extra device sync is added."""
+        if self.converged or not self.is_init:
+            return None
+        term = self.cfg.term_criteria
+        if self._last_stats is not None and self.iter_count > 0:
+            s = self._last_stats  # completed by now; pull is cheap
+            delta = float(s.delta_norm)
+            err = float(s.total_err)
+            rel = abs(self._prev_err - err) / max(self._prev_err, 1e-20)
+            self._prev_err = err
+            if (self.iter_count >= term.max_iter
+                    or delta < term.delta_norm or rel < term.rel_tol):
+                self.converged = True
+                return None
+        return self.iterate()
 
     # -- data out ----------------------------------------------------------------
     def get_kf_ref_data(self, num_ref: int = 1):

@@ -93,6 +93,13 @@ def frame_stats(P_full, mask_full, T_curr_kf, T_w_kf, K, img_hw):
 
 
 @jax.jit
+def predict_const_velocity(T_prev, T_curr):
+    """Warm start T_next ~ T_curr (T_prev^-1 T_curr): replay the last
+    relative motion (both poses are frame-from-KF)."""
+    return T_curr @ (lie.invert_se3(T_prev) @ T_curr)
+
+
+@jax.jit
 def rebase_to_new_kf(T_w_kf_old, T_curr_kf, aff_w_kf_old, aff_curr_kf,
                      new_pose, new_aff):
     """Re-express current-frame-relative pose/affine against a new KF."""
@@ -112,9 +119,13 @@ class Tracking:
     img_size: tuple
 
     mapping_init: bool = False
+    # constant-velocity warm start: helps on smooth trajectories, hurts on
+    # jerky ones — opt-in (cfg.use_motion_model)
+    use_motion_model: bool = False
     levels: Optional[List] = None
     T_curr_kf: Optional[jax.Array] = None
     aff_curr_kf: Optional[jax.Array] = None
+    _T_prev: Optional[jax.Array] = None
     T_w_kf: Optional[jax.Array] = None
     aff_w_kf: Optional[jax.Array] = None
     kf_received_ts: float = -1.0
@@ -122,6 +133,7 @@ class Tracking:
     num_one_way_since_kf: int = 0
 
     def setup(self):
+        self.use_motion_model = getattr(self.cfg, "use_motion_model", False)
         self.term = tk.TermStatic(
             max_iter=self.cfg.term_criteria.max_iter,
             delta_norm=self.cfg.term_criteria.delta_norm,
@@ -147,6 +159,7 @@ class Tracking:
                 self.T_w_kf, self.T_curr_kf, self.aff_w_kf, self.aff_curr_kf,
                 pose[-1], aff[-1])
             self.num_one_way_since_kf = 0
+            self._T_prev = None  # motion model invalid across KF rebases
         elif not self.mapping_init:
             self.mapping_init = True
             self.last_kf_sent_ts = new_ts
@@ -165,8 +178,16 @@ class Tracking:
         gray = img_ops.rgb_to_gray(rgb)
         img_pyr = img_ops.image_pyramid(gray, self.cfg.pyr.start_level,
                                         self.cfg.pyr.end_level)
+        # constant-velocity warm start: extrapolate the last inter-frame
+        # motion (beyond the reference, which starts from the previous
+        # pose; cuts IC iterations substantially)
+        T_init = self.T_curr_kf
+        if self.use_motion_model and self._T_prev is not None:
+            T_init = predict_const_velocity(self._T_prev, self.T_curr_kf)
+        T_before = self.T_curr_kf
         Tji, aff, _ = tk.track_pyramid(self.levels, img_pyr,
-                                       self.T_curr_kf, self.aff_curr_kf, self.term)
+                                       T_init, self.aff_curr_kf, self.term)
+        self._T_prev = T_before
         self.T_curr_kf, self.aff_curr_kf = Tji, aff
 
         finest = self.levels[-1]

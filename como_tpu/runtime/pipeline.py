@@ -110,8 +110,7 @@ class ComoPipeline:
                         kf_updated = m.handle_tracking_data(data)
                         self.viz_q.push(m.get_kf_viz_data(), block=False)
 
-            if m.is_init and not m.converged:
-                m.iterate()
+            if m.is_init and m.maybe_iterate() is not None:
                 kf_updated = True
 
             now = time.monotonic()

@@ -55,13 +55,13 @@ class ComoSeq:
             ts, T_w_curr = track_viz
             pose_out = np.array(T_w_curr)
             if track_map is not None:
-                kf_updated = m.handle_tracking_data(track_map) or True
-            m.iterate()
+                kf_updated = m.handle_tracking_data(track_map)
+            m.maybe_iterate()
 
-        # refresh the tracking reference on keyframe/one-way insertion and
-        # periodically (poses refine every iterate; the reference resends
-        # each map() call — here the rebuild is rate-limited because it is
-        # itself device work)
+        # refresh the tracking reference on new-keyframe insertion and
+        # periodically (poses refine across iterations; the reference
+        # rebuilds each map() call — here rate-limited because the rebuild
+        # is itself device work)
         refresh = kf_updated or (timestamp - self._last_ref_ts > self.ref_period)
         if refresh and m.is_init:
             ref = m.get_kf_ref_data(self.cfg.mapping.track_ref_num_keyframes)

@@ -1,0 +1,105 @@
+"""Unit tests: correspondence transfer (corr) and two-frame SfM on the
+synthetic scene with exact ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from como_tpu.data.synthetic import PlaneScene
+from como_tpu.geometry import lie
+from como_tpu.net.analytic_prior import cov_params_from_rgb
+from como_tpu.odom.frontend import corr as corr_mod
+from como_tpu.odom.frontend import sfm as sfm_mod
+from como_tpu.utils.demo import anchor_grid
+
+IMG = (48, 64)
+M = 16
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return PlaneScene(img_size=IMG, seed=0)
+
+
+def test_track_and_init_geometry(scene):
+    """With exact GT depth + poses, tracked anchors must reproject with
+    consistent depths, and all anchor slots must get sane values."""
+    pose1 = jnp.eye(4)
+    pose2 = lie.se3_exp(jnp.array([0.0, 0.0, 0.0, 0.08, 0.0, 0.0]))
+    rgb1, depth1 = scene.render(pose1)
+    rgb2, _ = scene.render(pose2)
+    axy = anchor_grid(IMG, M)
+    z1 = jax.vmap(lambda p: depth1[0, 0, p[1].astype(int), p[0].astype(int)])(axy)
+
+    cov2 = cov_params_from_rgb(rgb2)
+    cfg = corr_mod.CorrStatic(border=2)
+    res = corr_mod.track_and_init(pose1, pose2, axy, jnp.log(z1),
+                                  depth1[0, 0], cov2, scene.K, 1.0, M, cfg)
+    tracked = np.array(res.tracked)
+    assert tracked.sum() >= 3, tracked.sum()
+    assert bool(np.array(res.valid).all())
+    # tracked anchors map to distinct source anchors
+    src = np.array(res.src_anchor)[tracked]
+    assert len(set(src.tolist())) == len(src)
+    # depths close to the true plane depth at those pixels (same scale)
+    z_all = np.array(res.z_all)
+    assert np.all(z_all > 0.5) and np.all(z_all < 5.0)
+    # tracked anchor depths: reproject exactly onto the plane
+    Tji = np.array(lie.invert_se3(pose2) @ pose1)
+    for s_new, s_old in zip(np.where(tracked)[0][:5], src[:5]):
+        # backproject in frame2, transform to world, check plane equation
+        xy = np.array(res.coords_all)[s_new]
+        z = z_all[s_new]
+        K = np.array(scene.K)
+        P2 = z * np.array([(xy[0] - K[0, 2]) / K[0, 0],
+                           (xy[1] - K[1, 2]) / K[1, 1], 1.0])
+        Pw = np.array(pose2)[:3, :3] @ P2 + np.array(pose2)[:3, 3]
+        resid = np.dot(np.array(scene.normal), Pw) - float(scene.d0)
+        # GP distill through 16 coarse analytic-prior anchors: ~cm accuracy
+        assert abs(resid) < 0.12, resid
+
+
+def test_sfm_bootstrap_recovers_motion(scene):
+    """Two-frame SfM: translate the camera; the recovered pose direction
+    and the depth map (up to scale) must match ground truth."""
+    from como_tpu.ops import image as img_ops
+    from como_tpu.utils.demo import anchor_grid
+
+    rgb1, depth1 = scene.render(jnp.eye(4))
+    xi_true = jnp.array([0.0, 0.01, 0.0, 0.10, 0.02, 0.0])
+    T_true = lie.se3_exp(xi_true)            # world pose of frame 2
+    rgb2, _ = scene.render(T_true)
+
+    cov1 = cov_params_from_rgb(rgb1)
+    coords_rc = jnp.stack([anchor_grid(IMG, M)[:, 1],
+                           anchor_grid(IMG, M)[:, 0]], -1)
+    ref = sfm_mod.setup_reference(rgb1, cov1, coords_rc, scene.K, 1.0, 0, 3)
+
+    gray2 = img_ops.rgb_to_gray(rgb2)
+    pyr = img_ops.image_pyramid(gray2, 0, 3)
+    pyr3 = [img_ops.img_and_grads(p)[0] for p in pyr]
+    term = {"max_iter": 40, "delta_norm": 1e-5, "rel_tol": 1e-5}
+    from como_tpu.odom.mapping import _Hashable
+    Tji, logzm, mean_logz, count, med = sfm_mod.sfm_align(
+        ref, pyr3, jnp.eye(4), jnp.zeros((M,)), _Hashable(term))
+
+    # Tji maps frame1 (KF) points into frame2: Tji ~ inv(T_true) up to scale.
+    t_est = np.array(Tji[:3, 3])
+    t_true = -np.array(T_true[:3, 3])        # inv for pure-ish translation
+    cos = np.dot(t_est, t_true) / (np.linalg.norm(t_est) * np.linalg.norm(t_true))
+    assert cos > 0.99, cos
+    # rotation error small
+    R_err = np.array(Tji[:3, :3]) @ np.array(T_true[:3, :3])
+    assert abs(np.trace(R_err) - 3.0) < 1e-2
+
+    # depth structure: predicted dense logz correlates with true logz
+    W = ref.levels[-1].W
+    logz_pred = np.array(W @ logzm).reshape(IMG)
+    logz_true = np.log(np.array(depth1[0, 0]))
+    a = logz_pred - logz_pred.mean()
+    b = logz_true - logz_true.mean()
+    corr = (a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum())
+    # 16 anchors + analytic prior at 48x64: structure is recovered but
+    # interpolation is coarse (the e2e ATE test pins full-loop quality)
+    assert corr > 0.6, corr
