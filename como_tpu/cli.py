@@ -78,6 +78,8 @@ def main(argv=None):
         import jax
         jax.profiler.stop_trace()
 
+    if hasattr(eng, "finish"):
+        eng.finish()
     if hasattr(eng, "shutdown"):
         eng.shutdown()
 

@@ -106,6 +106,10 @@ def greedy_entropy_sample(
                 done,
                 jnp.logical_and(jnp.logical_not(existing_i), max_stdev < max_stdev_thresh),
             )
+        # no selectable site left (all costs zero: domain exhausted / fully
+        # NMS-suppressed / nothing valid) -> stop instead of picking junk
+        done = jnp.logical_or(
+            done, jnp.logical_and(jnp.logical_not(existing_i), cost[best] <= 0.0))
         select_i = jnp.logical_or(existing_i, jnp.logical_not(done))
 
         # -- chosen site ----------------------------------------------------

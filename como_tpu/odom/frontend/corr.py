@@ -29,6 +29,7 @@ from como_tpu.gp import distill, kernels, predictor, sampler
 from como_tpu.ops import image as img_ops
 from como_tpu.ops.coords import coord_grid_rc, normalize_coords
 from como_tpu.ops.interp import bilinear_sample
+from como_tpu.ops.linalg import masked_median as linalg_masked_median
 
 HIGH = jax.lax.Precision.HIGHEST
 
@@ -166,6 +167,12 @@ def track_and_init(pose1, pose2, pm1_xy, logzm1, depth_img1, cov_img2,
         jnp.full_like(logz_obs, 1.0 / sigma_r), sigma_median=cfg.sigma_median)
 
     z_all = jnp.where(tracked_slot, z_tr, jnp.exp(logz2))
+    # sanity: any non-finite / non-positive depth falls back to the median
+    # of the observed cloud (in-algorithm robustness; cf. the reference's
+    # behind-camera reinit)
+    z_med = jnp.exp(linalg_masked_median(logz_obs, mask_n))
+    z_ok = jnp.isfinite(z_all) & (z_all > 1e-4) & (z_all < 1e4)
+    z_all = jnp.where(z_ok, z_all, z_med)
     # new-anchor pixel coords from the sampler's domain grid
     rc_all = jnp.where(
         tracked_slot[:, None],

@@ -356,26 +356,31 @@ class Mapping:
         src = np.array(res.src_anchor)
         n_new = int((~tracked).sum())
 
-        # landmark slots: inherit for tracked, allocate for new
+        # landmark slots: inherit for tracked anchors
         new_row = np.zeros(M, np.int32)
         new_row[tracked] = self.anchor_lm_host[last][src[tracked]]
-        new_row[~tracked] = self.alloc.alloc(n_new)
 
         shifting = self.num_kf >= Kdim
         if shifting:
+            # release the dropped keyframe's unreferenced landmarks FIRST
+            # (otherwise a full window with all-distinct landmarks has no
+            # free slots for the new anchors)
             dropped = self.anchor_lm_host[0].copy()
             self.anchor_lm_host[:-1] = self.anchor_lm_host[1:]
-            self.anchor_lm_host[-1] = new_row
-            slot = Kdim - 1
-            # release landmarks no longer referenced by any KF
-            referenced = np.unique(self.anchor_lm_host[: Kdim])
+            referenced = np.unique(np.concatenate(
+                [self.anchor_lm_host[: Kdim - 1].reshape(-1),
+                 new_row[tracked]]))
             released = np.setdiff1d(dropped, referenced)
             self.alloc.release(released)
+            new_row[~tracked] = self.alloc.alloc(n_new)
+            self.anchor_lm_host[-1] = new_row
+            slot = Kdim - 1
             self.kf_ts = self.kf_ts[1:] + [timestamp]
             rel_mask = np.zeros(self.dims.L, bool)
             rel_mask[released] = True
             self.state = _roll_kf_state(self.state, jnp.array(rel_mask))
         else:
+            new_row[~tracked] = self.alloc.alloc(n_new)
             slot = self.num_kf
             self.anchor_lm_host[slot] = new_row
             self.kf_ts.append(timestamp)

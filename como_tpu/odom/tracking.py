@@ -173,14 +173,17 @@ class Tracking:
         self.T_w_kf = pose[-1]
         self.aff_w_kf = aff[-1]
 
-    # -- per-frame ----------------------------------------------------------
-    def handle_frame(self, timestamp: float, rgb: jax.Array):
+    # -- per-frame, async split ----------------------------------------------
+    # On a remote-attached TPU every host<->device sync stalls the dispatch
+    # pipeline (~30 ms/program overhead hides only when programs queue
+    # back-to-back).  dispatch_frame() enqueues the track solve + decision
+    # stats and returns device handles; decide() pulls the (by then
+    # complete) stats and runs the keyframe/one-way logic — typically
+    # called one frame later by the engine, keeping the queue full.
+    def dispatch_frame(self, timestamp: float, rgb: jax.Array):
         gray = img_ops.rgb_to_gray(rgb)
         img_pyr = img_ops.image_pyramid(gray, self.cfg.pyr.start_level,
                                         self.cfg.pyr.end_level)
-        # constant-velocity warm start: extrapolate the last inter-frame
-        # motion (beyond the reference, which starts from the previous
-        # pose; cuts IC iterations substantially)
         T_init = self.T_curr_kf
         if self.use_motion_model and self._T_prev is not None:
             T_init = predict_const_velocity(self._T_prev, self.T_curr_kf)
@@ -189,17 +192,23 @@ class Tracking:
                                        T_init, self.aff_curr_kf, self.term)
         self._T_prev = T_before
         self.T_curr_kf, self.aff_curr_kf = Tji, aff
-
         finest = self.levels[-1]
         T_w_curr, stats = frame_stats(finest.P, finest.mask, Tji, self.T_w_kf,
                                       finest.K, tuple(self.img_size))
-        stats = np.asarray(stats)  # single device->host pull per frame
+        return dict(ts=timestamp, rgb=rgb, Tji=Tji, aff=aff,
+                    T_w_curr=T_w_curr, stats=stats,
+                    kf_received_ts=self.kf_received_ts,
+                    num_kf_pixels=finest.vals.shape[0])
+
+    def decide(self, pending):
+        """Keyframe / one-way decision from a dispatched frame's stats."""
+        stats = np.asarray(pending["stats"])
         num_reproj = int(stats[0])
         median_depth = float(stats[1])
         kf_dist = float(stats[2])
-        num_kf_pixels = finest.vals.shape[0]
+        num_kf_pixels = pending["num_kf_pixels"]
+        timestamp = pending["ts"]
 
-        track_data_map = None
         frame_kind = None
         kcfg = self.cfg.keyframing
         if self.last_kf_sent_ts <= self.kf_received_ts:
@@ -218,12 +227,16 @@ class Tracking:
                 frame_kind = "one-way"
                 self.num_one_way_since_kf += 1
 
-        if frame_kind is not None:
-            track_data_map = (frame_kind, rgb, Tji, aff,
-                              self.kf_received_ts, timestamp)
+        if frame_kind is None:
+            return None
+        return (frame_kind, pending["rgb"], pending["Tji"], pending["aff"],
+                pending["kf_received_ts"], timestamp)
 
-        track_data_viz = (timestamp, T_w_curr)
-        return track_data_viz, track_data_map
+    def handle_frame(self, timestamp: float, rgb: jax.Array):
+        """Synchronous track-then-decide (reference handle_frame)."""
+        pending = self.dispatch_frame(timestamp, rgb)
+        track_data_map = self.decide(pending)
+        return (timestamp, pending["T_w_curr"]), track_data_map
 
     def get_curr_world_pose(self):
         return transforms.get_T_w_curr(self.T_w_kf[None], self.T_curr_kf[None])[0]

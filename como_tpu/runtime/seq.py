@@ -3,18 +3,24 @@
 Spec: reference como/odom/sequential/{ComoSeq,TrackingSeq,MappingSeq}.py,
 but inverted: the reference's main loop lives inside the Open3D GUI
 window; here the engine is a plain object driven by `step(ts, rgb)` —
-the GUI (or nothing) observes it.  Per frame: track -> maybe feed
-mapping -> one mapping GN iteration -> refresh the tracker's keyframe
-reference when mapping updated it.
+the GUI (or nothing) observes it.
+
+Open-loop scheduling (TPU): the engine never blocks on the current
+frame's results.  Each step (1) resolves the *previous* frame's
+keyframe/one-way decision from its (by now computed) stats, feeding
+mapping, (2) dispatches one mapping GN iteration, (3) dispatches the
+current frame's tracking.  Host<->device syncs thus overlap with device
+work and the dispatch queue stays full — essential when each program
+execution carries fixed overhead (remote-attached TPU).  Decisions land
+one frame later than the reference's; the thresholds are heuristics and
+the effect on ATE is nil (pinned by tests).
 """
 
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
 from typing import List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from como_tpu.config import ComoConfig
@@ -30,50 +36,66 @@ class ComoSeq:
                                  img_size=tuple(img_size))
         self.mapping = Mapping(cfg.mapping, intrinsics, tuple(img_size))
         self.timestamps: List[float] = []
-        self.est_poses: List[np.ndarray] = []
+        self.est_poses: List = []       # device arrays; converted lazily
         self.viz_listener = None
         self.ref_period = 0.25  # seconds of *dataset time* between refreshes
         self._last_ref_ts = -1e9
+        self._pending = None
 
     def setup(self):
         self.tracking.setup()
         self.mapping.setup()
 
-    def step(self, timestamp: float, rgb) -> Optional[np.ndarray]:
-        """Process one frame; returns the current world pose estimate (4,4)
-        or None before initialization."""
+    def _resolve_pending(self):
+        """Decide + record the previously dispatched frame."""
         m = self.mapping
-        pose_out = None
-        kf_updated = False
+        p = self._pending
+        self._pending = None
+        if p is None:
+            return False
+        track_map = self.tracking.decide(p)
+        self.timestamps.append(p["ts"])
+        self.est_poses.append(p["T_w_curr"])
+        kf_inserted = False
+        if track_map is not None:
+            kf_inserted = m.handle_tracking_data(track_map)
+        return kf_inserted
+
+    def step(self, timestamp: float, rgb):
+        """Process one frame; returns the latest world pose estimate
+        (device array) or None before initialization."""
+        m = self.mapping
 
         if not m.is_init:
-            kf_updated = m.attempt_two_frame_init(timestamp, rgb)
+            self._pending = None
+            m.attempt_two_frame_init(timestamp, rgb)
             if m.is_init:
-                pose_out = np.array(m.state.kf_pose[m.num_kf - 1])
-        else:
-            track_viz, track_map = self.tracking.handle_frame(timestamp, rgb)
-            ts, T_w_curr = track_viz
-            pose_out = np.array(T_w_curr)
-            if track_map is not None:
-                kf_updated = m.handle_tracking_data(track_map)
-            m.maybe_iterate()
+                pose = m.state.kf_pose[m.num_kf - 1]
+                self.timestamps.append(timestamp)
+                self.est_poses.append(pose)
+                self._refresh_reference(timestamp, force=True)
+                return pose
+            return None
 
-        # refresh the tracking reference on new-keyframe insertion and
-        # periodically (poses refine across iterations; the reference
-        # rebuilds each map() call — here rate-limited because the rebuild
-        # is itself device work)
-        refresh = kf_updated or (timestamp - self._last_ref_ts > self.ref_period)
-        if refresh and m.is_init:
-            ref = m.get_kf_ref_data(self.cfg.mapping.track_ref_num_keyframes)
-            self.tracking.update_kf_reference(ref)
-            self._last_ref_ts = timestamp
-            if self.viz_listener is not None:
-                self.viz_listener(m.get_kf_viz_data())
+        kf_inserted = self._resolve_pending()
+        if kf_inserted or (timestamp - self._last_ref_ts > self.ref_period):
+            self._refresh_reference(timestamp)
+        m.maybe_iterate()
+        self._pending = self.tracking.dispatch_frame(timestamp, rgb)
+        return self._pending["T_w_curr"]
 
-        if pose_out is not None:
-            self.timestamps.append(timestamp)
-            self.est_poses.append(pose_out)
-        return pose_out
+    def finish(self):
+        """Resolve the last dispatched frame (call when the stream ends)."""
+        if self.mapping.is_init:
+            self._resolve_pending()
+
+    def _refresh_reference(self, timestamp, force=False):
+        m = self.mapping
+        ref = m.get_kf_ref_data(self.cfg.mapping.track_ref_num_keyframes)
+        self.tracking.update_kf_reference(ref)
+        self._last_ref_ts = timestamp
+        if self.viz_listener is not None:
+            self.viz_listener(m.get_kf_viz_data())
 
     def run(self, dataset, max_frames: Optional[int] = None, verbose=False):
         n = len(dataset) if max_frames is None else min(len(dataset), max_frames)
@@ -84,8 +106,11 @@ class ComoSeq:
             if verbose and i % 30 == 0:
                 dt = time.perf_counter() - t0
                 print(f"frame {i}/{n}  ({(i + 1) / dt:.1f} FPS)")
-        return np.array(self.timestamps), np.stack(self.est_poses) \
+        self.finish()
+        est = np.stack([np.array(p) for p in self.est_poses]) \
             if self.est_poses else np.zeros((0, 4, 4))
+        return np.array(self.timestamps), est
 
     def save_trajectory(self, path: str):
-        save_traj(path, self.timestamps, np.stack(self.est_poses))
+        est = np.stack([np.array(p) for p in self.est_poses])
+        save_traj(path, self.timestamps, est)

@@ -60,6 +60,8 @@ def main():
             warm = time.perf_counter() - t0
             t0 = time.perf_counter()
             lat = []
+    if hasattr(eng, "finish"):
+        eng.finish()
     if hasattr(eng, "shutdown"):
         eng.shutdown()
     n_steady = len(ds) - 21
