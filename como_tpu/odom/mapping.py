@@ -487,14 +487,20 @@ class Mapping:
         if self.converged or not self.is_init:
             return None
         term = self.cfg.term_criteria
-        if self._last_stats is not None and self.iter_count > 0:
-            s = self._last_stats  # completed by now; pull is cheap
+        if self.iter_count >= term.max_iter:
+            self.converged = True
+            return None
+        # check the numeric criteria only every few iterations: the stats
+        # pull is a device sync that would otherwise drain the dispatch
+        # pipeline every frame
+        if (self._last_stats is not None and self.iter_count > 0
+                and self.iter_count % 4 == 0):
+            s = self._last_stats
             delta = float(s.delta_norm)
             err = float(s.total_err)
             rel = abs(self._prev_err - err) / max(self._prev_err, 1e-20)
             self._prev_err = err
-            if (self.iter_count >= term.max_iter
-                    or delta < term.delta_norm or rel < term.rel_tol):
+            if delta < term.delta_norm or rel < term.rel_tol:
                 self.converged = True
                 return None
         return self.iterate()

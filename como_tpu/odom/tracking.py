@@ -92,6 +92,21 @@ def frame_stats(P_full, mask_full, T_curr_kf, T_w_kf, K, img_hw):
     return T_w_curr, jnp.stack([count, med, kf_dist])
 
 
+@partial(jax.jit, static_argnames=("term", "start_level", "end_level", "img_hw"))
+def track_frame_fused(levels, rgb, T_init, aff_init, T_w_kf, term,
+                      start_level: int, end_level: int, img_hw):
+    """Whole per-frame tracking as ONE device program: grayscale ->
+    pyramid -> coarse-to-fine IC solve -> world pose + decision stats.
+    (One dispatch per frame; programs pipeline on remote-attached TPUs.)"""
+    gray = img_ops.rgb_to_gray(rgb)
+    img_pyr = img_ops.image_pyramid(gray, start_level, end_level)
+    Tji, aff, _ = tk.track_pyramid(levels, img_pyr, T_init, aff_init, term)
+    finest = levels[-1]
+    T_w_curr, stats = frame_stats(finest.P, finest.mask, Tji, T_w_kf,
+                                  finest.K, img_hw)
+    return Tji, aff, T_w_curr, stats
+
+
 @jax.jit
 def predict_const_velocity(T_prev, T_curr):
     """Warm start T_next ~ T_curr (T_prev^-1 T_curr): replay the last
@@ -181,24 +196,20 @@ class Tracking:
     # complete) stats and runs the keyframe/one-way logic — typically
     # called one frame later by the engine, keeping the queue full.
     def dispatch_frame(self, timestamp: float, rgb: jax.Array):
-        gray = img_ops.rgb_to_gray(rgb)
-        img_pyr = img_ops.image_pyramid(gray, self.cfg.pyr.start_level,
-                                        self.cfg.pyr.end_level)
         T_init = self.T_curr_kf
         if self.use_motion_model and self._T_prev is not None:
             T_init = predict_const_velocity(self._T_prev, self.T_curr_kf)
         T_before = self.T_curr_kf
-        Tji, aff, _ = tk.track_pyramid(self.levels, img_pyr,
-                                       T_init, self.aff_curr_kf, self.term)
+        Tji, aff, T_w_curr, stats = track_frame_fused(
+            self.levels, rgb, T_init, self.aff_curr_kf, self.T_w_kf,
+            self.term, self.cfg.pyr.start_level, self.cfg.pyr.end_level,
+            tuple(self.img_size))
         self._T_prev = T_before
         self.T_curr_kf, self.aff_curr_kf = Tji, aff
-        finest = self.levels[-1]
-        T_w_curr, stats = frame_stats(finest.P, finest.mask, Tji, self.T_w_kf,
-                                      finest.K, tuple(self.img_size))
         return dict(ts=timestamp, rgb=rgb, Tji=Tji, aff=aff,
                     T_w_curr=T_w_curr, stats=stats,
                     kf_received_ts=self.kf_received_ts,
-                    num_kf_pixels=finest.vals.shape[0])
+                    num_kf_pixels=self.levels[-1].vals.shape[0])
 
     def decide(self, pending):
         """Keyframe / one-way decision from a dispatched frame's stats."""

@@ -40,19 +40,17 @@ class ComoSeq:
         self.viz_listener = None
         self.ref_period = 0.25  # seconds of *dataset time* between refreshes
         self._last_ref_ts = -1e9
-        self._pending = None
+        self._pending: List = []
+        self.decision_lag = 1  # frames of dispatch depth before deciding
 
     def setup(self):
         self.tracking.setup()
         self.mapping.setup()
 
-    def _resolve_pending(self):
-        """Decide + record the previously dispatched frame."""
+    def _resolve_one(self):
+        """Decide + record the oldest dispatched frame."""
         m = self.mapping
-        p = self._pending
-        self._pending = None
-        if p is None:
-            return False
+        p = self._pending.pop(0)
         track_map = self.tracking.decide(p)
         self.timestamps.append(p["ts"])
         self.est_poses.append(p["T_w_curr"])
@@ -67,7 +65,7 @@ class ComoSeq:
         m = self.mapping
 
         if not m.is_init:
-            self._pending = None
+            self._pending = []
             m.attempt_two_frame_init(timestamp, rgb)
             if m.is_init:
                 pose = m.state.kf_pose[m.num_kf - 1]
@@ -77,17 +75,20 @@ class ComoSeq:
                 return pose
             return None
 
-        kf_inserted = self._resolve_pending()
+        kf_inserted = False
+        while len(self._pending) >= self.decision_lag:
+            kf_inserted |= self._resolve_one()
         if kf_inserted or (timestamp - self._last_ref_ts > self.ref_period):
             self._refresh_reference(timestamp)
         m.maybe_iterate()
-        self._pending = self.tracking.dispatch_frame(timestamp, rgb)
-        return self._pending["T_w_curr"]
+        self._pending.append(self.tracking.dispatch_frame(timestamp, rgb))
+        return self._pending[-1]["T_w_curr"]
 
     def finish(self):
-        """Resolve the last dispatched frame (call when the stream ends)."""
+        """Resolve the remaining dispatched frames (stream end)."""
         if self.mapping.is_init:
-            self._resolve_pending()
+            while self._pending:
+                self._resolve_one()
 
     def _refresh_reference(self, timestamp, force=False):
         m = self.mapping
