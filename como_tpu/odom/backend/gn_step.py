@@ -152,10 +152,10 @@ def _dense_points(state: WindowState, sc, K_intr, dims: WindowDims):
     # GP chain factors
     q = jnp.einsum("knm,kmj->knj", Wk, sc["dlogzm_dTwc"], precision=HIGH)  # (K,ND,6)
     v = Wk / sc["z"][:, None, :]                         # (K, ND, M)
-    # per-KF median of predicted dense depth (reference setup_test_points)
-    med_dense = jax.vmap(lambda d, m: histogram_median(d, m))(
-        z_n, jnp.broadcast_to(state.kf_valid[:, None], z_n.shape))
-    return dict(Pw_n=Pw_n, Pc_n=Pc_n, u=u, q=q, v=v, z_n=z_n, med_dense=med_dense)
+    # (the reference also computes a per-KF median of this dense depth for
+    # its radius-based pair construction — disabled by default; we compute
+    # medians on the dense sites only when actually needed)
+    return dict(Pw_n=Pw_n, Pc_n=Pc_n, u=u, q=q, v=v, z_n=z_n)
 
 
 # ---------------------------------------------------------------------------
@@ -484,14 +484,13 @@ def _finish(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
         logzm=sc["logzm"], pm=sc["pm"],
     )
 
-    # refresh median depths from the full-image GP prediction (reference
-    # store_vars; full-image median via histogram)
-    logz_full = jnp.einsum("knm,km->kn", state.Knm_full, sc["logzm"],
-                           precision=HIGH)
-    z_full = jnp.exp(logz_full)
-    med_full = jax.vmap(lambda d, m: histogram_median(d, m))(
-        z_full, jnp.broadcast_to(state.kf_valid[:, None], z_full.shape))
-    state = state._replace(median_depth=jnp.where(state.kf_valid, med_full,
+    # refresh median depths from the *dense-site* GP prediction (the
+    # reference recomputes a full-image median every iterate; the
+    # max-gradient dense sites track it closely at ~1/16 the cost and the
+    # median only gates the behind-camera reinit threshold + weak priors)
+    med_new = jax.vmap(lambda d, m: histogram_median(d, m))(
+        dn["z_n"], jnp.broadcast_to(state.kf_valid[:, None], dn["z_n"].shape))
+    state = state._replace(median_depth=jnp.where(state.kf_valid, med_new,
                                                   state.median_depth))
 
     stats = GNStats(total_err=total_err, photo_err=photo_err,
