@@ -38,13 +38,9 @@ from como_tpu.odom.window import WindowDims, WindowState
 from como_tpu.ops.interp import bilinear_sample
 from como_tpu.ops.reduce import fast_mad_sigma, histogram_median
 
+from como_tpu.odom.backend.robust import huber as _huber_w
+
 HIGH = jax.lax.Precision.HIGHEST
-HUBER_K = 1.345
-
-
-def _huber_w(r):
-    ra = jnp.abs(r)
-    return jnp.where(ra < HUBER_K, 1.0, HUBER_K / jnp.maximum(ra, 1e-20))
 
 
 def _mm(a, b):

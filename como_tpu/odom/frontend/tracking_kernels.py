@@ -28,13 +28,7 @@ from como_tpu.geometry.camera import project, transform_project
 from como_tpu.ops.interp import bilinear_sample
 from como_tpu.ops.reduce import fast_mad_sigma
 
-HUBER_K = 1.345
-
-
-def huber_weight(r: jax.Array) -> jax.Array:
-    """Huber IRLS weight (k = 1.345; reference robust_loss.huber)."""
-    r_abs = jnp.abs(r)
-    return jnp.where(r_abs < HUBER_K, 1.0, HUBER_K / jnp.maximum(r_abs, 1e-20))
+from como_tpu.odom.backend.robust import huber as huber_weight  # noqa: F401
 
 
 class TrackLevel(NamedTuple):

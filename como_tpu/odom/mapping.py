@@ -526,10 +526,17 @@ class Mapping:
         depth = jnp.stack([
             dense_depth_image(st.Knm_full[i], st.logzm[i], self.img_size)
             for i in range(n)])[:, None]
+        pr, pt, pv = (np.array(a) for a in self._pairs)
+        kf_pairs = [(int(r), int(t)) for r, t, v in zip(pr, pt, pv)
+                    if v and t < self.dims.K]
+        ow_pairs = [(int(r), int(t) - self.dims.K) for r, t, v in zip(pr, pt, pv)
+                    if v and t >= self.dims.K]
         return dict(timestamps=list(self.kf_ts), rgbs=st.kf_rgb[:n],
                     poses=st.kf_pose[:n], depths=depth,
                     sparse_pm=st.pm[:n], P_lm=st.P_lm, lm_valid=st.lm_valid,
-                    ow_poses=st.ow_pose[: self.num_ow])
+                    obs_ref=st.obs_ref[:n],
+                    ow_poses=st.ow_pose[: self.num_ow],
+                    kf_pairs=kf_pairs, ow_pairs=ow_pairs)
 
 
 class _Hashable(dict):

@@ -27,6 +27,7 @@ from como_tpu.config import ComoConfig
 from como_tpu.odom.mapping import Mapping
 from como_tpu.odom.tracking import Tracking
 from como_tpu.utils.io import save_traj
+from como_tpu.utils.log import EventLog
 
 
 class ComoSeq:
@@ -42,6 +43,7 @@ class ComoSeq:
         self._last_ref_ts = -1e9
         self._pending: List = []
         self.decision_lag = 1  # frames of dispatch depth before deciding
+        self.log = EventLog()
 
     def setup(self):
         self.tracking.setup()
@@ -57,6 +59,8 @@ class ComoSeq:
         kf_inserted = False
         if track_map is not None:
             kf_inserted = m.handle_tracking_data(track_map)
+            self.log.emit("insert", frame_kind=track_map[0], ts=p["ts"],
+                          num_kf=m.num_kf, num_ow=m.num_ow)
         return kf_inserted
 
     def step(self, timestamp: float, rgb):
