@@ -295,10 +295,11 @@ gn_step_donating = partial(
     donate_argnums=(0,))(_gn_step_impl)
 
 
-def _finish(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
-            sigmas, damping: float):
-    """Prior factors + assembly + solve + retract (replicated part of the
-    multi-chip step; see parallel/sharded.py)."""
+def _assemble(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
+              sigmas):
+    """Prior factors + global (H, g) assembly (replicated part of the
+    multi-chip step; see parallel/sharded.py).  _finish adds masking,
+    damping, the Cholesky solve, and the retraction."""
     K, O, M, L = dims.K, dims.O, dims.M, dims.L
     F = K + O
     D = dims.D
@@ -449,6 +450,31 @@ def _finish(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
     Hbig = Hbig.at[lm_dims, lm_dims].add(jnp.repeat(fz_mask, 3))
     gbig = gbig.at[lm_dims].add((-fz_mask[:, None] * r_fz).reshape(-1))
     total_err += jnp.sum(fz_mask[:, None] * r_fz * r_fz)
+    return Hbig, gbig, total_err
+
+
+@partial(jax.jit, static_argnames=("dims", "sigmas"))
+def gn_system(state: WindowState, pairs_ref, pairs_tgt, pairs_valid, K_intr,
+              dims: WindowDims, sigmas):
+    """Assembled (H, g) of one linearization — for tests/diagnostics
+    (g must equal the negative gradient of the frozen-sigma robust cost)."""
+    sc = _scaffold(state, K_intr, dims)
+    state = state._replace(P_lm=sc["P_lm_new"])
+    dn = _dense_points(state, sc, K_intr, dims)
+    photo = _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid,
+                   K_intr, dims)
+    return _assemble(state, sc, dn, photo, K_intr, dims, sigmas)
+
+
+def _finish(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
+            sigmas, damping: float):
+    K, O, M, L = dims.K, dims.O, dims.M, dims.L
+    F = K + O
+    D = dims.D
+    dtype = state.P_lm.dtype
+    _, _, _, _, _, photo_err = photo
+    Hbig, gbig, total_err = _assemble(state, sc, dn, photo, K_intr, dims,
+                                      sigmas)
 
     # ---- validity masking + damping + solve --------------------------------
     pose_dim_valid = jnp.repeat(

@@ -1,0 +1,134 @@
+"""Gradient verification: the assembled GN gradient g must equal the
+negative autodiff gradient of the true robust photometric cost.
+
+For the Huber loss, the IRLS weight satisfies w(r) * r = rho'(r), so
+-g = d/dx [ sum rho(r_i(x) / sigma) ] exactly, with sigma frozen
+(stop_gradient), as the reference treats it.  We rebuild the photometric
+cost forward-only in pure JAX (through the GP dense-depth chain) and
+compare jax.grad at the current state against the hand-assembled g from
+backend/gn_step.gn_system — the strongest possible check of the analytic
+Jacobian chains + anchor-space assembly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from como_tpu.geometry import lie
+from como_tpu.odom.backend import gn_step as gs
+from como_tpu.odom.backend.robust import HUBER_K
+from como_tpu.odom.window import make_dims
+from como_tpu.ops.interp import bilinear_sample
+from como_tpu.ops.reduce import fast_mad_sigma
+from como_tpu.utils.demo import make_demo_state
+
+DIMS = make_dims(num_kf=4, num_ow=2, M=16, img_size=(48, 64))
+# neutralize all prior factors so the cost is photometric-only
+SIG_OFF = gs.SigmaStatic(photo=1e-1, mean_depth_prior=1e8, scale_prior=1e8,
+                         pose_prior=1e8, gp_prior=1e8, log_depth_first=1e8,
+                         pixel_first=1e8)
+
+
+def huber_rho(r):
+    a = jnp.abs(r)
+    return jnp.where(a < HUBER_K, 0.5 * r * r, HUBER_K * (a - 0.5 * HUBER_K))
+
+
+def photometric_cost(state, pairs, K_intr, xi_kf, aff_d, xi_ow, aff_ow_d, dP):
+    """Forward-only robust photometric cost at a tangent perturbation.
+    Mirrors gn_step._scaffold + _dense_points + _photo residuals
+    (weights/sigma frozen via stop_gradient)."""
+    dims = DIMS
+    K, O, M = dims.K, dims.O, dims.M
+    H_img, W_img = dims.H, dims.W
+    kf_pose = state.kf_pose @ lie.se3_exp(xi_kf)
+    ow_pose = state.ow_pose @ lie.se3_exp(xi_ow)
+    kf_aff = state.kf_aff + aff_d
+    ow_aff = state.ow_aff + aff_ow_d
+    P_lm = state.P_lm + dP
+
+    Tcw = lie.invert_se3(kf_pose)
+    Pw_a = P_lm[state.anchor_lm]
+    Pc_a = jnp.einsum("kij,kmj->kmi", Tcw[:, :3, :3], Pw_a) + Tcw[:, None, :3, 3]
+    z_a = jnp.maximum(Pc_a[..., 2], 1e-6)
+    logzm = jnp.log(z_a)
+
+    fx, fy = K_intr[0, 0], K_intr[1, 1]
+    cx, cy = K_intr[0, 2], K_intr[1, 2]
+    logzn = jnp.einsum("knm,km->kn", state.dense_knm, logzm)
+    z_n = jnp.exp(logzn)
+    rx = (state.dense_rc[..., 1] - cx) / fx
+    ry = (state.dense_rc[..., 0] - cy) / fy
+    ray = jnp.stack([rx, ry, jnp.ones_like(rx)], -1)
+    Pc_n = z_n[..., None] * ray
+    Pw_n = jnp.einsum("kij,knj->kni", kf_pose[:, :3, :3], Pc_n) \
+        + kf_pose[:, None, :3, 3]
+
+    pr, pt, pv = pairs
+    pose_f = jnp.concatenate([kf_pose, ow_pose], 0)
+    aff_f = jnp.concatenate([kf_aff, ow_aff], 0)
+    img_f = jnp.concatenate([state.kf_img, state.ow_img], 0)
+    valid_f = jnp.concatenate([state.kf_valid, state.ow_valid], 0)
+
+    Tcw_j = lie.invert_se3(pose_f[pt])
+    Pcj = jnp.einsum("pij,pnj->pni", Tcw_j[:, :3, :3], Pw_n[pr]) \
+        + Tcw_j[:, None, :3, 3]
+    zj = Pcj[..., 2]
+    zs = jnp.where(zj > 1e-6, zj, 1.0)
+    px = fx * Pcj[..., 0] / zs + cx
+    py = fy * Pcj[..., 1] / zs + cy
+    samp = jax.vmap(lambda img, xy: bilinear_sample(img, xy, "zeros"))(
+        img_f[pt], jnp.stack([px, py], -1))
+    I_t = samp[:, 0]
+    valid = ((px >= 1) & (px < W_img - 1) & (py >= 1) & (py < H_img - 1)
+             & (zj > 0) & pv[:, None] & state.kf_valid[pr][:, None]
+             & valid_f[pt][:, None])
+    valid = jax.lax.stop_gradient(valid)
+
+    aff_i, aff_j = kf_aff[pr], aff_f[pt]
+    ea = jnp.exp(aff_j[:, 0] - aff_i[:, 0])[:, None]
+    r = I_t - ea * state.dense_vals[pr] + (aff_j[:, 1] - aff_i[:, 1])[:, None]
+    sigma = jax.lax.stop_gradient(fast_mad_sigma(r, valid) + 1e-12)
+    return jnp.sum(huber_rho(r / sigma) * valid)
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_assembled_gradient_matches_autodiff(seed):
+    state, pairs, K_intr = make_demo_state(DIMS, num_kf=3, num_ow=1, step=0.03)
+    # avoid the behind-camera reinit branch interfering: demo state is sane
+    H, g, _ = gs.gn_system(state, *pairs, K_intr, DIMS, SIG_OFF)
+
+    K, O, L, F = DIMS.K, DIMS.O, DIMS.L, DIMS.K + DIMS.O
+
+    def cost(flat):
+        xi_kf = flat[: 6 * K].reshape(K, 6)
+        aff_d = flat[6 * K: 8 * K].reshape(K, 2)
+        xi_ow = flat[8 * K: 8 * K + 6 * O].reshape(O, 6)
+        aff_ow = flat[8 * K + 6 * O: 8 * F].reshape(O, 2)
+        dP = flat[8 * F:].reshape(L, 3)
+        return photometric_cost(state, pairs, K_intr, xi_kf, aff_d,
+                                xi_ow, aff_ow, dP)
+
+    n = 8 * F + 3 * L
+    grad = jax.grad(cost)(jnp.zeros((n,)))
+    grad = np.array(grad)
+
+    # map our packed layout [per-frame 8 = (xi6, aff2)] to the flat layout
+    g = np.array(g)
+    g_kf = g[: 8 * K].reshape(K, 8)
+    g_ow = g[8 * K: 8 * F].reshape(O, 8)
+    ours = np.concatenate([
+        g_kf[:, :6].reshape(-1), g_kf[:, 6:].reshape(-1),
+        g_ow[:, :6].reshape(-1), g_ow[:, 6:].reshape(-1), g[8 * F:]])
+
+    # g = -grad (photo-only; prior infos ~1e-16 are negligible).
+    # Residual tolerance: the analytic chain uses Scharr-smoothed image
+    # gradients sampled at the warp (standard LK / reference practice),
+    # while autodiff differentiates the bilinear sampler exactly — an
+    # O(1e-2) relative model difference.  Sign/indexing/assembly errors
+    # produce O(1) discrepancies, which this still catches decisively.
+    valid_dims = np.abs(grad) + np.abs(ours) > 1e-6
+    scale = np.abs(grad[valid_dims]).max()
+    err = np.abs(ours + grad)[valid_dims] / scale
+    assert err.max() < 2e-2, err.max()
