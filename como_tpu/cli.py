@@ -32,6 +32,12 @@ def main(argv=None):
                    help="attach the Open3D viewer if available")
     p.add_argument("--profile", type=str, default=None,
                    help="directory for a jax profiler trace")
+    p.add_argument("--resume", type=str, default=None,
+                   help="mapping-state checkpoint to resume from")
+    p.add_argument("--save_state", type=str, default=None,
+                   help="write a mapping-state checkpoint at the end")
+    p.add_argument("--log", type=str, default=None,
+                   help="jsonl event-log path")
     args = p.parse_args(argv)
 
     from como_tpu.config import load_config
@@ -47,6 +53,12 @@ def main(argv=None):
 
     eng = Engine(cfg, dataset.intrinsics, cfg.img_size)
     eng.setup()
+    if args.log and hasattr(eng, "log"):
+        from como_tpu.utils.log import EventLog
+        eng.log = EventLog(args.log)
+    if args.resume:
+        from como_tpu.utils.checkpoint import load_mapping_state
+        load_mapping_state(eng.mapping, args.resume)
 
     if args.viz:
         try:
@@ -82,6 +94,10 @@ def main(argv=None):
         eng.finish()
     if hasattr(eng, "shutdown"):
         eng.shutdown()
+
+    if args.save_state:
+        from como_tpu.utils.checkpoint import save_mapping_state
+        save_mapping_state(eng.mapping, args.save_state)
 
     os.makedirs(args.save_traj, exist_ok=True)
     name = getattr(dataset, "save_traj_name", args.dataset_type)
