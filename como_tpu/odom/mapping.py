@@ -477,22 +477,20 @@ class Mapping:
         self._last_stats = stats
         return stats
 
-    def maybe_iterate(self):
-        """One GN iteration unless converged (reference term_criteria,
-        Mapping.py:959-964 — present in the reference config but its
-        checks are commented out there; implemented here: after each
-        insertion up to max_iter iterations run, stopping early on
-        delta_norm / rel_tol).  Convergence is evaluated from the
-        *previous* iteration's stats so no extra device sync is added."""
+    def should_iterate(self) -> bool:
+        """Convergence gate (reference term_criteria, Mapping.py:959-964 —
+        present in the reference config but its checks are commented out
+        there; implemented here: after each insertion up to max_iter
+        iterations run, stopping early on delta_norm / rel_tol).  The
+        numeric criteria are evaluated from a *previous* iteration's
+        stats, and only every few iterations, so no per-frame device sync
+        is added."""
         if self.converged or not self.is_init:
-            return None
+            return False
         term = self.cfg.term_criteria
         if self.iter_count >= term.max_iter:
             self.converged = True
-            return None
-        # check the numeric criteria only every few iterations: the stats
-        # pull is a device sync that would otherwise drain the dispatch
-        # pipeline every frame
+            return False
         if (self._last_stats is not None and self.iter_count > 0
                 and self.iter_count % 4 == 0):
             s = self._last_stats
@@ -502,8 +500,17 @@ class Mapping:
             self._prev_err = err
             if delta < term.delta_norm or rel < term.rel_tol:
                 self.converged = True
-                return None
-        return self.iterate()
+                return False
+        return True
+
+    def note_iteration(self, stats):
+        """Bookkeeping for a GN iteration executed externally (the fused
+        per-frame program in runtime/seq.py)."""
+        self.iter_count += 1
+        self._last_stats = stats
+
+    def maybe_iterate(self):
+        return self.iterate() if self.should_iterate() else None
 
     # -- data out ----------------------------------------------------------------
     def get_kf_ref_data(self, num_ref: int = 1):

@@ -23,11 +23,44 @@ from typing import List, Optional
 
 import numpy as np
 
+from functools import partial
+
+import jax
+
 from como_tpu.config import ComoConfig
+from como_tpu.odom.backend.gn_step import _gn_step_impl
 from como_tpu.odom.mapping import Mapping
-from como_tpu.odom.tracking import Tracking
+from como_tpu.odom.tracking import Tracking, frame_stats, predict_const_velocity
+from como_tpu.odom.frontend import tracking_kernels as tk
+from como_tpu.ops import image as img_ops
 from como_tpu.utils.io import save_traj
 from como_tpu.utils.log import EventLog
+
+
+@partial(jax.jit,
+         static_argnames=("term", "start_level", "end_level", "img_hw",
+                          "dims", "sigmas", "damping"),
+         donate_argnums=(5,))
+def _fused_frame_program(levels, rgb, T_init, aff_init, T_w_kf,
+                         state, pairs_ref, pairs_tgt, pairs_valid, K_intr,
+                         term, start_level: int, end_level: int, img_hw,
+                         dims, sigmas, damping: float):
+    """Tracking + one mapping GN iteration as ONE device program.
+
+    The two are data-independent within a frame (mapping consumes frames
+    only via host-mediated insertions), so fusing them halves the fixed
+    per-program overhead of remote-attached TPUs.  State buffers donated.
+    """
+    gray = img_ops.rgb_to_gray(rgb)
+    img_pyr = img_ops.image_pyramid(gray, start_level, end_level)
+    Tji, aff, _ = tk.track_pyramid(levels, img_pyr, T_init, aff_init, term)
+    finest = levels[-1]
+    T_w_curr, stats = frame_stats(finest.P, finest.mask, Tji, T_w_kf,
+                                  finest.K, img_hw)
+    new_state, gn_stats = _gn_step_impl(state, pairs_ref, pairs_tgt,
+                                        pairs_valid, K_intr, dims, sigmas,
+                                        damping)
+    return Tji, aff, T_w_curr, stats, new_state, gn_stats
 
 
 class ComoSeq:
@@ -84,9 +117,34 @@ class ComoSeq:
             kf_inserted |= self._resolve_one()
         if kf_inserted or (timestamp - self._last_ref_ts > self.ref_period):
             self._refresh_reference(timestamp)
-        m.maybe_iterate()
-        self._pending.append(self.tracking.dispatch_frame(timestamp, rgb))
+
+        if m.should_iterate():
+            self._pending.append(self._dispatch_fused(timestamp, rgb))
+        else:
+            self._pending.append(self.tracking.dispatch_frame(timestamp, rgb))
         return self._pending[-1]["T_w_curr"]
+
+    def _dispatch_fused(self, timestamp, rgb):
+        """One device program: track this frame + one mapping GN step."""
+        t = self.tracking
+        m = self.mapping
+        T_init = t.T_curr_kf
+        if t.use_motion_model and t._T_prev is not None:
+            T_init = predict_const_velocity(t._T_prev, t.T_curr_kf)
+        T_before = t.T_curr_kf
+        Tji, aff, T_w_curr, stats, new_state, gn_stats = _fused_frame_program(
+            t.levels, rgb, T_init, t.aff_curr_kf, t.T_w_kf,
+            m.state, *m._pairs, m.K,
+            t.term, t.cfg.pyr.start_level, t.cfg.pyr.end_level,
+            tuple(t.img_size), m.dims, m.sigmas, m.cfg.gn_damping)
+        t._T_prev = T_before
+        t.T_curr_kf, t.aff_curr_kf = Tji, aff
+        m.state = new_state
+        m.note_iteration(gn_stats)
+        return dict(ts=timestamp, rgb=rgb, Tji=Tji, aff=aff,
+                    T_w_curr=T_w_curr, stats=stats,
+                    kf_received_ts=t.kf_received_ts,
+                    num_kf_pixels=t.levels[-1].vals.shape[0])
 
     def finish(self):
         """Resolve the remaining dispatched frames (stream end)."""
