@@ -12,11 +12,8 @@ Two backends:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from flax import serialization
 
 from como_tpu.net import analytic_prior, unet as unet_mod

@@ -10,7 +10,7 @@ tensor work is in jitted kernels (gn_step, corr, sfm, prep_keyframe).
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ decisions.  Host code here only orchestrates; every tensor op is jitted:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional
 

@@ -27,9 +27,8 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from como_tpu.odom.backend import gn_step as gs
 from como_tpu.odom.window import WindowDims, WindowState
