@@ -26,9 +26,18 @@ class GPPredictor(NamedTuple):
 
 
 def kernel_matrices(x_m_norm, e_m, x_n_norm, e_n, scale):
-    """K_mm (M, M), K_nm (N, M), K_nn_diag (N,) for anchor/test site sets."""
+    """K_mm (M, M), K_nm (N, M), K_nn_diag (N,) for anchor/test site sets.
+
+    The large N x M cross block uses the fused Pallas kernel on TPU
+    (gp/kernels_pallas.py); small blocks stay XLA."""
+    from como_tpu.gp import kernels_pallas
+
     K_mm = kernels.cross_covariance(x_m_norm, e_m, x_m_norm, e_m, scale)
-    K_nm = kernels.cross_covariance(x_n_norm, e_n, x_m_norm, e_m, scale)
+    if x_n_norm.shape[0] >= 4096:
+        K_nm = kernels_pallas.cross_covariance(x_n_norm, e_n, x_m_norm, e_m,
+                                               scale)
+    else:
+        K_nm = kernels.cross_covariance(x_n_norm, e_n, x_m_norm, e_m, scale)
     K_nn_diag = kernels.diag_covariance(e_n, scale)
     return K_mm, K_nm, K_nn_diag
 

@@ -56,7 +56,8 @@ def prep_keyframe(rgb, cov_img, coords_m_xy, K, scale, nms_window: int):
     rc_all = coord_grid_rc((H, W), dtype)
     n_norm = normalize_coords(rc_all, jnp.array([H, W], dtype))
     e_n = cov_img.reshape(3, -1).T
-    K_nm = kernels.cross_covariance(n_norm, e_n, m_norm, e_m, scale)
+    from como_tpu.gp import kernels_pallas
+    K_nm = kernels_pallas.cross_covariance(n_norm, e_n, m_norm, e_m, scale)
     Knm_full = jnp.matmul(K_nm, Kmm_inv, precision=HIGH)  # (HW, M)
     colmean = jnp.mean(Knm_full, axis=0)
 
