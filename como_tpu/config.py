@@ -79,6 +79,9 @@ class SigmasConfig:
     pixel_first: float = 1e-2
     pixel_all: float = 3.33e-1
     distill_median: float = 5e-2
+    # prior gating modes (reference depth_prior.py / pixel_prior.py)
+    log_depth_mode: str = "first_mean"
+    pixel_mode: str = "first"
 
 
 @dataclass

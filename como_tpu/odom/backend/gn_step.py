@@ -331,18 +331,21 @@ def _assemble(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
     g_zm_gp = -info[:, None] * (Dz * Kinv_y)
     total_err += jnp.sum(info * jnp.einsum("km,km->k", y, Kinv_y))
 
-    # ---- log-depth prior, mode "first_mean" (factors/depth_prior.py;
-    # sigma_first=1e0, Mapping.py:836) ---------------------------------------
-    w_first = (state.obs_ref & state.kf_valid[:, None]).astype(dtype) \
-        / (sigmas.log_depth_first ** 2)                  # (K, M)
+    # ---- log-depth prior, gated modes (factors/depth_prior.py; default
+    # "first_mean" with sigma_first=1e0, Mapping.py:836) ---------------------
+    wH_ld, wr_ld = _prior_mode_weights(
+        sigmas.log_depth_mode, state.obs_ref,
+        1.0 / (sigmas.log_depth_first ** 2), 1.0 / (sigmas.log_depth_all ** 2))
+    wH_ld = wH_ld * kfv[:, None]
+    wr_ld = wr_ld * kfv[:, None]
     r_ld = y                                             # logzm - log_med
     Hzm = Hzm + jnp.zeros_like(Hzm).at[
-        :, jnp.arange(M), jnp.arange(M)].add(w_first * inv_z * inv_z)
-    H_pose_ld = jnp.einsum("km,kmi,kmj->kij", w_first, A, A, precision=HIGH)
-    H_pose_zm_ld = jnp.einsum("km,kmi->kim", w_first * inv_z, A, precision=HIGH)
-    g_pose_ld = -jnp.einsum("km,kmi->ki", w_first * r_ld, A, precision=HIGH)
-    g_zm_ld = -w_first * inv_z * r_ld
-    total_err += jnp.sum(w_first * r_ld * r_ld)
+        :, jnp.arange(M), jnp.arange(M)].add(wH_ld * inv_z * inv_z)
+    H_pose_ld = jnp.einsum("km,kmi,kmj->kij", wH_ld, A, A, precision=HIGH)
+    H_pose_zm_ld = jnp.einsum("km,kmi->kim", wH_ld * inv_z, A, precision=HIGH)
+    g_pose_ld = -jnp.einsum("km,kmi->ki", wr_ld * r_ld, A, precision=HIGH)
+    g_zm_ld = -wr_ld * inv_z * r_ld
+    total_err += jnp.sum(wr_ld * r_ld * r_ld)
 
     # ---- scale prior: mean predicted log depth of the oldest KF pinned to
     # the SfM anchor until the window fills (factors/gp_priors.
@@ -360,24 +363,28 @@ def _assemble(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
     g_zm_s0 = -info_s * dr_dzm0 * r_s
     total_err += info_s * r_s * r_s
 
-    # ---- pixel prior, mode "first" (factors/pixel_prior.py; sigmas 1e-2 /
-    # 3.33e-1 at Mapping.py:851-852): landmark-space 3x3 anchor blocks ------
-    w_pix = (state.obs_ref & state.kf_valid[:, None]).astype(dtype) \
-        / (sigmas.pixel_first ** 2)                      # (K, M)
+    # ---- pixel prior, gated modes (factors/pixel_prior.py; default
+    # "first" with sigmas 1e-2 / 3.33e-1 at Mapping.py:851-852):
+    # landmark-space 3x3 anchor blocks ---------------------------------------
+    wH_px, wr_px = _prior_mode_weights(
+        sigmas.pixel_mode, state.obs_ref,
+        1.0 / (sigmas.pixel_first ** 2), 1.0 / (sigmas.pixel_all ** 2))
+    wH_px = wH_px * kfv[:, None]
+    wr_px = wr_px * kfv[:, None]
     r_pix = sc["pm"] - state.pm_first                    # (K, M, 2)
     dp_dPw = sc["dp_dPw"]
     dp_dTwc = sc["dp_dTwc"]
-    H_anchor_pix = jnp.einsum("km,kmci,kmcj->kmij", w_pix, dp_dPw, dp_dPw,
+    H_anchor_pix = jnp.einsum("km,kmci,kmcj->kmij", wH_px, dp_dPw, dp_dPw,
                               precision=HIGH)            # (K, M, 3, 3)
-    H_pose_pix = jnp.einsum("km,kmci,kmcj->kij", w_pix, dp_dTwc, dp_dTwc,
+    H_pose_pix = jnp.einsum("km,kmci,kmcj->kij", wH_px, dp_dTwc, dp_dTwc,
                             precision=HIGH)
-    H_pose_anchor_pix = jnp.einsum("km,kmci,kmcj->kmij", w_pix, dp_dTwc,
+    H_pose_anchor_pix = jnp.einsum("km,kmci,kmcj->kmij", wH_px, dp_dTwc,
                                    dp_dPw, precision=HIGH)  # (K, M, 6, 3)
-    g_anchor_pix = -jnp.einsum("km,kmci,kmc->kmi", w_pix, dp_dPw, r_pix,
+    g_anchor_pix = -jnp.einsum("km,kmci,kmc->kmi", wr_px, dp_dPw, r_pix,
                                precision=HIGH)           # (K, M, 3)
-    g_pose_pix = -jnp.einsum("km,kmci,kmc->ki", w_pix, dp_dTwc, r_pix,
+    g_pose_pix = -jnp.einsum("km,kmci,kmc->ki", wr_px, dp_dTwc, r_pix,
                              precision=HIGH)
-    total_err += jnp.sum(w_pix * jnp.sum(r_pix * r_pix, -1))
+    total_err += jnp.sum(wr_px * jnp.sum(r_pix * r_pix, -1))
 
     # ---- fold pose-side prior terms into grids -----------------------------
     pose_extra = H_pose_gp + H_pose_ld + H_pose_pix
@@ -521,11 +528,49 @@ def _finish(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
 
 
 class SigmaStatic(NamedTuple):
-    """Hashable sigma set for gn_step (values from config.SigmasConfig)."""
+    """Hashable sigma/mode set for gn_step (values from config.SigmasConfig).
+
+    The *_mode fields select the reference's prior gating modes
+    (factors/depth_prior.py:7-141, factors/pixel_prior.py:6-130):
+    {first|all|first_plus_rest} x {mean|curr}; "curr" variants contribute
+    curvature only (residual/gradient zeroed)."""
     photo: float = 1e-1
     mean_depth_prior: float = 1e-2
     scale_prior: float = 1e-4
     pose_prior: float = 1e-6
     gp_prior: float = 1e0
     log_depth_first: float = 1e0
+    log_depth_all: float = 1e0
     pixel_first: float = 1e-2
+    pixel_all: float = 3.33e-1
+    log_depth_mode: str = "first_mean"
+    pixel_mode: str = "first"
+
+
+def _prior_mode_weights(mode: str, first_mask, info_first: float,
+                        info_all: float):
+    """(w_H, w_r) per-anchor weight fields for the gated prior modes."""
+    import jax.numpy as jnp
+    first = first_mask.astype(jnp.float32)
+    rest = 1.0 - first
+    if mode in ("first", "first_mean"):
+        w_H = info_first * first
+        w_r = w_H
+    elif mode == "first_curr":
+        w_H = info_first * first
+        w_r = jnp.zeros_like(first)
+    elif mode == "all_curr":
+        w_H = info_all * jnp.ones_like(first)
+        w_r = jnp.zeros_like(first)
+    elif mode == "all_mean":
+        w_H = info_all * jnp.ones_like(first)
+        w_r = w_H
+    elif mode == "first_plus_rest_mean":
+        w_H = info_first * first + info_all * rest
+        w_r = w_H
+    elif mode == "first_plus_rest_curr":
+        w_H = info_first * first + info_all * rest
+        w_r = info_first * first
+    else:
+        raise ValueError(f"unknown prior mode '{mode}'")
+    return w_H, w_r

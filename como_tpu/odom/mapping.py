@@ -254,7 +254,10 @@ class Mapping:
             photo=cfg.sigmas.photo, mean_depth_prior=cfg.sigmas.mean_depth_prior,
             scale_prior=cfg.sigmas.scale_prior, pose_prior=cfg.sigmas.pose_prior,
             gp_prior=cfg.sigmas.gp_prior, log_depth_first=cfg.sigmas.log_depth_first,
-            pixel_first=cfg.sigmas.pixel_first)
+            log_depth_all=cfg.sigmas.log_depth_all,
+            pixel_first=cfg.sigmas.pixel_first, pixel_all=cfg.sigmas.pixel_all,
+            log_depth_mode=cfg.sigmas.log_depth_mode,
+            pixel_mode=cfg.sigmas.pixel_mode)
         self.corr_cfg = corr_mod.CorrStatic(
             corr_thresh=cfg.corr.corr_thresh, min_obs_depth=cfg.corr.min_obs_depth,
             logz_grad_mag_thresh=cfg.corr.logz_grad_mag_thresh,
