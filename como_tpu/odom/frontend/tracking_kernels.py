@@ -54,9 +54,13 @@ def precalc_ic_jacobians(grads: jax.Array, P: jax.Array, K: jax.Array) -> jax.Ar
 
 
 def _level_solve(Tji, aff, lvl: TrackLevel, img_j, photo_sigma, term):
-    """One pyramid level: while_loop of IC iterations on device."""
+    """One pyramid level: while_loop of IC iterations on device.
+
+    img_j is (C, H, W); the reference rows are channel-major flattened
+    (C, ..., N) so channel c's samples read image channel c."""
     N = lvl.vals.shape[0]
-    H, W = img_j.shape[-2:]
+    C, H, W = img_j.shape
+    Np = N // C
     dtype = lvl.vals.dtype
 
     def gn_iter(Tji, aff):
@@ -65,7 +69,9 @@ def _level_solve(Tji, aff, lvl: TrackLevel, img_j, photo_sigma, term):
         x, y = p[..., 0], p[..., 1]
         valid = ((x >= 1) & (x < W - 1) & (y >= 1) & (y < H - 1)
                  & (z > 0) & lvl.mask)
-        I_t = bilinear_sample(img_j[None, :, :], p, padding="zeros")[0]  # (N,)
+        I_t = jax.vmap(
+            lambda img_c, p_c: bilinear_sample(img_c[None], p_c, "zeros")[0]
+        )(img_j, p.reshape(C, Np, 2)).reshape(-1)            # (N,)
 
         a, b = aff[0], aff[1]
         tmp = jnp.exp(-a) * I_t
@@ -119,7 +125,7 @@ def track_pyramid(levels: Sequence[TrackLevel], img_pyr: Sequence[jax.Array],
     Tji, aff = Tji_init, aff_init
     iters = []
     for lvl, img in zip(levels, img_pyr):
-        Tji, aff, it = _level_solve(Tji, aff, lvl, img[0, 0], None, dict(term))
+        Tji, aff, it = _level_solve(Tji, aff, lvl, img[0], None, dict(term))
         iters.append(it)
     return Tji, aff, jnp.stack(iters)
 

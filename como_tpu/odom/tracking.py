@@ -29,15 +29,22 @@ from como_tpu.ops.reduce import histogram_median
 from como_tpu.odom.frontend import tracking_kernels as tk
 
 
-@partial(jax.jit, static_argnames=("start_level", "end_level", "depth_mode"))
+@partial(jax.jit, static_argnames=("start_level", "end_level", "depth_mode",
+                                   "color"))
 def build_reference(kf_rgb, kf_poses, depth, K, start_level: int, end_level: int,
-                    depth_mode: str):
+                    depth_mode: str, color: str = "gray"):
     """Build per-level TrackLevel reference data from KF data (B keyframes;
     points from all B transformed into the last KF's frame, as in the
-    reference's multi-KF merge; B=1 is the default config)."""
+    reference's multi-KF merge; B=1 is the default config).
+
+    color="rgb" tracks all 3 channels (reference tracking.color): each
+    channel becomes its own flattened sample row (channel-major) sharing
+    the 3D point but carrying its own intensity + IC Jacobian, so the
+    solver is channel-agnostic."""
     B = kf_rgb.shape[0]
-    gray = img_ops.rgb_to_gray(kf_rgb)
-    img_pyr = img_ops.image_pyramid(gray, start_level, end_level)
+    img = img_ops.rgb_to_gray(kf_rgb) if color == "gray" else kf_rgb
+    C = img.shape[1]
+    img_pyr = img_ops.image_pyramid(img, start_level, end_level)
     depth_pyr = img_ops.depth_pyramid(depth, start_level, end_level, depth_mode)
     K_pyr = img_ops.intrinsics_pyramid(K, start_level, end_level)
 
@@ -50,8 +57,6 @@ def build_reference(kf_rgb, kf_poses, depth, K, start_level: int, end_level: int
         gx, gy = img_ops.image_gradients(img_l)
         rc = coord_grid_rc((h, w), dtype=img_l.dtype)        # (N, 2)
         xy = jnp.stack([rc[:, 1], rc[:, 0]], axis=-1)
-        vals = img_l.reshape(B, -1)                          # all pixels
-        grads = jnp.stack([gx.reshape(B, -1), gy.reshape(B, -1)], axis=-1)
         z = depth_l.reshape(B, -1)[..., None]                # (B, N, 1)
         P, _ = backproject(K_l, xy[None], z)                 # (B, N, 3)
         P_last, _, _ = transforms.transform_points(rel, P)
@@ -61,10 +66,19 @@ def build_reference(kf_rgb, kf_poses, depth, K, start_level: int, end_level: int
         mask = ((p_all[..., 0] >= -border) & (p_all[..., 0] <= w - 1 + border)
                 & (p_all[..., 1] >= -border) & (p_all[..., 1] <= h - 1 + border)
                 & (P_last[..., 2] > 1e-4))
-        J = jax.vmap(tk.precalc_ic_jacobians, in_axes=(0, 0, None))(grads, P_last, K_l)
+        # channel-major flattening: sample row (c, b, n) shares P[b, n] so
+        # the solver can slice channels contiguously when sampling the
+        # target image
+        vals = img_l.reshape(B, C, -1).transpose(1, 0, 2)    # (C, B, N)
+        grads = jnp.stack([gx.reshape(B, C, -1),
+                           gy.reshape(B, C, -1)], axis=-1).transpose(1, 0, 2, 3)
+        P_rep = jnp.broadcast_to(P_last[None], (C, B) + P_last.shape[1:])
+        mask_rep = jnp.broadcast_to(mask[None], (C, B) + mask.shape[1:])
+        J = jax.vmap(tk.precalc_ic_jacobians, in_axes=(0, 0, None))(
+            grads.reshape(C * B, -1, 2), P_rep.reshape(C * B, -1, 3), K_l)
         levels.append(tk.TrackLevel(
-            vals=vals.reshape(-1), P=P_last.reshape(-1, 3), J_ic=J.reshape(-1, 8),
-            mask=mask.reshape(-1), K=K_l,
+            vals=vals.reshape(-1), P=P_rep.reshape(-1, 3), J_ic=J.reshape(-1, 8),
+            mask=mask_rep.reshape(-1), K=K_l,
         ))
     return levels
 
@@ -92,18 +106,22 @@ def frame_stats(P_full, mask_full, T_curr_kf, T_w_kf, K, img_hw):
     return T_w_curr, jnp.stack([count, med, kf_dist])
 
 
-@partial(jax.jit, static_argnames=("term", "start_level", "end_level", "img_hw"))
+@partial(jax.jit, static_argnames=("term", "start_level", "end_level",
+                                   "img_hw", "color"))
 def track_frame_fused(levels, rgb, T_init, aff_init, T_w_kf, term,
-                      start_level: int, end_level: int, img_hw):
-    """Whole per-frame tracking as ONE device program: grayscale ->
+                      start_level: int, end_level: int, img_hw,
+                      color: str = "gray"):
+    """Whole per-frame tracking as ONE device program: (grayscale) ->
     pyramid -> coarse-to-fine IC solve -> world pose + decision stats.
     (One dispatch per frame; programs pipeline on remote-attached TPUs.)"""
-    gray = img_ops.rgb_to_gray(rgb)
-    img_pyr = img_ops.image_pyramid(gray, start_level, end_level)
+    img = img_ops.rgb_to_gray(rgb) if color == "gray" else rgb
+    C = img.shape[1]
+    img_pyr = img_ops.image_pyramid(img, start_level, end_level)
     Tji, aff, _ = tk.track_pyramid(levels, img_pyr, T_init, aff_init, term)
     finest = levels[-1]
-    T_w_curr, stats = frame_stats(finest.P, finest.mask, Tji, T_w_kf,
-                                  finest.K, img_hw)
+    npix = finest.vals.shape[0] // C  # decision stats over channel-0 rows
+    T_w_curr, stats = frame_stats(finest.P[:npix], finest.mask[:npix], Tji,
+                                  T_w_kf, finest.K, img_hw)
     return Tji, aff, T_w_curr, stats
 
 
@@ -182,7 +200,7 @@ class Tracking:
         self.levels = build_reference(
             rgb, pose, depth, self.intrinsics,
             self.cfg.pyr.start_level, self.cfg.pyr.end_level,
-            self.cfg.pyr.depth_interp_mode,
+            self.cfg.pyr.depth_interp_mode, self.cfg.color,
         )
         self.kf_received_ts = new_ts
         self.T_w_kf = pose[-1]
@@ -203,13 +221,14 @@ class Tracking:
         Tji, aff, T_w_curr, stats = track_frame_fused(
             self.levels, rgb, T_init, self.aff_curr_kf, self.T_w_kf,
             self.term, self.cfg.pyr.start_level, self.cfg.pyr.end_level,
-            tuple(self.img_size))
+            tuple(self.img_size), self.cfg.color)
         self._T_prev = T_before
         self.T_curr_kf, self.aff_curr_kf = Tji, aff
+        C = 3 if self.cfg.color == "rgb" else 1
         return dict(ts=timestamp, rgb=rgb, Tji=Tji, aff=aff,
                     T_w_curr=T_w_curr, stats=stats,
                     kf_received_ts=self.kf_received_ts,
-                    num_kf_pixels=self.levels[-1].vals.shape[0])
+                    num_kf_pixels=self.levels[-1].vals.shape[0] // C)
 
     def decide(self, pending):
         """Keyframe / one-way decision from a dispatched frame's stats."""

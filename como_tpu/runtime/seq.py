@@ -39,24 +39,26 @@ from como_tpu.utils.log import EventLog
 
 @partial(jax.jit,
          static_argnames=("term", "start_level", "end_level", "img_hw",
-                          "dims", "sigmas", "damping"),
+                          "dims", "sigmas", "damping", "color"),
          donate_argnums=(5,))
 def _fused_frame_program(levels, rgb, T_init, aff_init, T_w_kf,
                          state, pairs_ref, pairs_tgt, pairs_valid, K_intr,
                          term, start_level: int, end_level: int, img_hw,
-                         dims, sigmas, damping: float):
+                         dims, sigmas, damping: float, color: str = "gray"):
     """Tracking + one mapping GN iteration as ONE device program.
 
     The two are data-independent within a frame (mapping consumes frames
     only via host-mediated insertions), so fusing them halves the fixed
     per-program overhead of remote-attached TPUs.  State buffers donated.
     """
-    gray = img_ops.rgb_to_gray(rgb)
-    img_pyr = img_ops.image_pyramid(gray, start_level, end_level)
+    img = img_ops.rgb_to_gray(rgb) if color == "gray" else rgb
+    C = img.shape[1]
+    img_pyr = img_ops.image_pyramid(img, start_level, end_level)
     Tji, aff, _ = tk.track_pyramid(levels, img_pyr, T_init, aff_init, term)
     finest = levels[-1]
-    T_w_curr, stats = frame_stats(finest.P, finest.mask, Tji, T_w_kf,
-                                  finest.K, img_hw)
+    npix = finest.vals.shape[0] // C
+    T_w_curr, stats = frame_stats(finest.P[:npix], finest.mask[:npix], Tji,
+                                  T_w_kf, finest.K, img_hw)
     new_state, gn_stats = _gn_step_impl(state, pairs_ref, pairs_tgt,
                                         pairs_valid, K_intr, dims, sigmas,
                                         damping)
@@ -136,15 +138,17 @@ class ComoSeq:
             t.levels, rgb, T_init, t.aff_curr_kf, t.T_w_kf,
             m.state, *m._pairs, m.K,
             t.term, t.cfg.pyr.start_level, t.cfg.pyr.end_level,
-            tuple(t.img_size), m.dims, m.sigmas, m.cfg.gn_damping)
+            tuple(t.img_size), m.dims, m.sigmas, m.cfg.gn_damping,
+            t.cfg.color)
         t._T_prev = T_before
         t.T_curr_kf, t.aff_curr_kf = Tji, aff
         m.state = new_state
         m.note_iteration(gn_stats)
+        C = 3 if t.cfg.color == "rgb" else 1
         return dict(ts=timestamp, rgb=rgb, Tji=Tji, aff=aff,
                     T_w_curr=T_w_curr, stats=stats,
                     kf_received_ts=t.kf_received_ts,
-                    num_kf_pixels=t.levels[-1].vals.shape[0])
+                    num_kf_pixels=t.levels[-1].vals.shape[0] // C)
 
     def finish(self):
         """Resolve the remaining dispatched frames (stream end)."""
