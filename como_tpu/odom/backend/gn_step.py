@@ -273,7 +273,7 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
 # the full step
 
 def _gn_step_impl(state: WindowState, pairs_ref, pairs_tgt, pairs_valid,
-                  K_intr, dims: WindowDims, sigmas, damping: float = 1e-6):
+                  K_intr, dims: WindowDims, sigmas, damping=1e-6):
     """One GN iteration.  sigmas: hashable namedtuple (see SigmaStatic)."""
     sc = _scaffold(state, K_intr, dims)
     state = state._replace(P_lm=sc["P_lm_new"])
@@ -285,13 +285,13 @@ def _gn_step_impl(state: WindowState, pairs_ref, pairs_tgt, pairs_valid,
     return _finish(state, sc, dn, photo, K_intr, dims, sigmas, damping)
 
 
-gn_step = partial(jax.jit, static_argnames=("dims", "sigmas", "damping"))(
+gn_step = partial(jax.jit, static_argnames=("dims", "sigmas"))(
     _gn_step_impl)
 # Owner-loop variant: donates the state buffers so unchanged fields alias
 # through instead of being copied every iteration (~160 MB at full size).
 # Callers must not reuse the input state afterwards (Mapping.iterate).
 gn_step_donating = partial(
-    jax.jit, static_argnames=("dims", "sigmas", "damping"),
+    jax.jit, static_argnames=("dims", "sigmas"),
     donate_argnums=(0,))(_gn_step_impl)
 
 
@@ -474,7 +474,7 @@ def gn_system(state: WindowState, pairs_ref, pairs_tgt, pairs_valid, K_intr,
 
 
 def _finish(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
-            sigmas, damping: float):
+            sigmas, damping):
     K, O, M, L = dims.K, dims.O, dims.M, dims.L
     F = K + O
     D = dims.D

@@ -274,6 +274,7 @@ class Mapping:
         self.iter_count = 0
         self._last_stats = None
         self._prev_err = float("inf")
+        self.damping = cfg.gn_damping
 
     # -- two-frame bootstrap ----------------------------------------------------
     def attempt_two_frame_init(self, timestamp, rgb) -> bool:
@@ -476,7 +477,7 @@ class Mapping:
     def iterate(self):
         self.state, stats = gn_step_donating(self.state, *self._pairs, self.K,
                                     self.dims, self.sigmas,
-                                    self.cfg.gn_damping)
+                                    self.damping)
         self.iter_count += 1
         self._last_stats = stats
         return stats
@@ -501,6 +502,13 @@ class Mapping:
             delta = float(s.delta_norm)
             err = float(s.total_err)
             rel = abs(self._prev_err - err) / max(self._prev_err, 1e-20)
+            # Levenberg-Marquardt-style damping adaptation (the reference
+            # uses plain undamped GN): raise damping when the robust cost
+            # went up, relax it toward the configured floor otherwise
+            if err > self._prev_err:
+                self.damping = min(self.damping * 5.0, 1e-2)
+            else:
+                self.damping = max(self.damping * 0.5, self.cfg.gn_damping)
             self._prev_err = err
             if delta < term.delta_norm or rel < term.rel_tol:
                 self.converged = True

@@ -39,12 +39,12 @@ from como_tpu.utils.log import EventLog
 
 @partial(jax.jit,
          static_argnames=("term", "start_level", "end_level", "img_hw",
-                          "dims", "sigmas", "damping", "color"),
+                          "dims", "sigmas", "color"),
          donate_argnums=(5,))
 def _fused_frame_program(levels, rgb, T_init, aff_init, T_w_kf,
                          state, pairs_ref, pairs_tgt, pairs_valid, K_intr,
                          term, start_level: int, end_level: int, img_hw,
-                         dims, sigmas, damping: float, color: str = "gray"):
+                         dims, sigmas, damping, color: str = "gray"):
     """Tracking + one mapping GN iteration as ONE device program.
 
     The two are data-independent within a frame (mapping consumes frames
@@ -138,7 +138,7 @@ class ComoSeq:
             t.levels, rgb, T_init, t.aff_curr_kf, t.T_w_kf,
             m.state, *m._pairs, m.K,
             t.term, t.cfg.pyr.start_level, t.cfg.pyr.end_level,
-            tuple(t.img_size), m.dims, m.sigmas, m.cfg.gn_damping,
+            tuple(t.img_size), m.dims, m.sigmas, m.damping,
             t.cfg.color)
         t._T_prev = T_before
         t.T_curr_kf, t.aff_curr_kf = Tji, aff
