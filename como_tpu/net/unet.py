@@ -92,6 +92,9 @@ class UNet(nn.Module):
 
 def init_unet(key, img_size=(192, 256)):
     model = UNet()
+    div = 2 ** model.num_levels
+    assert img_size[0] % div == 0 and img_size[1] % div == 0, (
+        f"UNet needs image sides divisible by {div}, got {img_size}")
     params = model.init(key, jnp.zeros((1, img_size[0], img_size[1], 3)))
     return model, params
 

@@ -30,12 +30,20 @@ from como_tpu.net.depthcov import save_params
 from como_tpu.ops.coords import normalize_coords
 
 
-def synthetic_batch(key, img_size=(96, 128)):
+_SCENES = {}
+
+
+def synthetic_batch(key, img_size=(96, 128), pool: int = 8):
+    """Random view of a pooled synthetic scene (pooling keeps the jitted
+    renderer cache bounded: PlaneScene.render is jitted per instance)."""
     from como_tpu.data.synthetic import PlaneScene
     from como_tpu.geometry import lie
 
     seed = int(jax.random.randint(key, (), 0, 1 << 20))
-    scene = PlaneScene(img_size=img_size, seed=seed)
+    sid = seed % pool
+    if (img_size, sid) not in _SCENES:
+        _SCENES[(img_size, sid)] = PlaneScene(img_size=img_size, seed=sid)
+    scene = _SCENES[(img_size, sid)]
     xi = 0.1 * np.random.default_rng(seed).normal(size=6)
     rgb, depth = scene.render(lie.se3_exp(jnp.array(xi, jnp.float32)))
     return rgb, depth
