@@ -1,7 +1,8 @@
 """Demo window states: fill a WindowState from the synthetic scene with
 ground-truth geometry, without running the full engine.  Used by the
 graft entry points and benchmarks (realistic shapes + numerically sane
-content)."""
+content).  No reference-code counterpart — the reference has no test or
+benchmark fixtures at all (SURVEY.md section 4)."""
 
 from __future__ import annotations
 
