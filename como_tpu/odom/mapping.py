@@ -91,9 +91,8 @@ def dense_depth_image(Knm_full, logzm, hw):
 # Host code must not issue per-field eager ops: on a remote-attached TPU every
 # eager dispatch is a round trip, so each insertion path is one jit.
 
-@jax.jit
-def _write_kf_state(st, slot, pose, aff, prep, rgb, cov_img, coords_xy, logzm,
-                    obs_ref, lm_row, Pw_new, new_mask):
+def _write_kf_impl(st, slot, pose, aff, prep, rgb, cov_img, coords_xy, logzm,
+                   obs_ref, lm_row, Pw_new, new_mask):
     upd = st._replace(
         kf_pose=st.kf_pose.at[slot].set(pose),
         kf_aff=st.kf_aff.at[slot].set(aff),
@@ -123,8 +122,7 @@ def _write_kf_state(st, slot, pose, aff, prep, rgb, cov_img, coords_xy, logzm,
                         median_depth=upd.median_depth.at[slot].set(med))
 
 
-@jax.jit
-def _roll_kf_state(st, released_mask):
+def _roll_kf_impl(st, released_mask):
     def roll(a):
         return jnp.concatenate([a[1:], a[-1:]], axis=0)
     fields = ["kf_pose", "kf_aff", "kf_valid", "kf_img", "kf_rgb", "cov_img",
@@ -135,8 +133,7 @@ def _roll_kf_state(st, released_mask):
     return st._replace(lm_valid=st.lm_valid & ~released_mask, **upd)
 
 
-@jax.jit
-def _finalize_kf_state(st, slot, window_full, reanchor, fix_mask):
+def _finalize_kf_impl(st, slot, window_full, reanchor, fix_mask):
     st = st._replace(kf_valid=st.kf_valid.at[slot].set(True),
                      window_full=window_full)
     aff0 = st.kf_aff[0]
@@ -148,6 +145,25 @@ def _finalize_kf_state(st, slot, window_full, reanchor, fix_mask):
         P_anchor_vals=jnp.where(window_full, st.P_lm, st.P_anchor_vals),
     )
     return st
+
+
+_write_kf_state = jax.jit(_write_kf_impl)
+_roll_kf_state = jax.jit(_roll_kf_impl)
+_finalize_kf_state = jax.jit(_finalize_kf_impl)
+
+
+@jax.jit
+def _insert_kf_state(st, do_roll, rel_mask, slot, pose, aff, prep, rgb,
+                     cov_img, coords_xy, logzm, obs_ref, lm_row, Pw_new,
+                     new_mask, window_full, reanchor, fix_mask):
+    """Fused keyframe insertion: optional window roll + per-KF writes +
+    gauge/anchor finalization in ONE device program (insertion latency is
+    round-trip-bound on remote-attached TPUs)."""
+    st = jax.lax.cond(do_roll, lambda s: _roll_kf_impl(s, rel_mask),
+                      lambda s: s, st)
+    st = _write_kf_impl(st, slot, pose, aff, prep, rgb, cov_img, coords_xy,
+                        logzm, obs_ref, lm_row, Pw_new, new_mask)
+    return _finalize_kf_impl(st, slot, window_full, reanchor, fix_mask)
 
 
 @jax.jit
@@ -180,6 +196,21 @@ def _kf_ref_data_state(st, idx, hw):
                                precision=HIGH)[:, 0]).reshape(hw)
     return (st.kf_rgb[idx][None], st.kf_pose[idx][None], st.kf_aff[idx][None],
             depth[None, None])
+
+
+@partial(jax.jit, static_argnames=("M", "ccfg", "nms_window", "hw"))
+def _corr_and_prep(pose_last, pose_init, pm_last, logzm_last, Knm_full_last,
+                   rgb, cov_img, K, scale, M: int, ccfg, nms_window: int, hw):
+    """Fused keyframe-insertion compute: last-KF dense depth -> anchor
+    correspondence/distill -> new-KF GP predictor prep, ONE program."""
+    depth_last = jnp.exp(jnp.matmul(Knm_full_last, logzm_last[:, None],
+                                    precision=HIGH)[:, 0]).reshape(hw)
+    res = corr_mod.track_and_init(pose_last, pose_init, pm_last, logzm_last,
+                                  depth_last, cov_img, K, scale, M, ccfg)
+    prep = prep_keyframe(rgb, cov_img, res.coords_all, K, scale, nms_window)
+    Pw_new = _anchors_world(pose_init, res.coords_all,
+                            jnp.maximum(res.z_all, 1e-9), K)
+    return res, prep, Pw_new
 
 
 @jax.jit
@@ -350,12 +381,11 @@ class Mapping:
         last = self.num_kf - 1
 
         cov_img = self.prior.cov_params(rgb)
-        depth_last = dense_depth_image(st.Knm_full[last], st.logzm[last],
-                                       self.img_size)
-
-        res = corr_mod.track_and_init(
+        res, prep, Pw_new = _corr_and_prep(
             st.kf_pose[last], pose_init, st.pm[last], st.logzm[last],
-            depth_last, cov_img, self.K, self.scale, M, self.corr_cfg)
+            st.Knm_full[last], rgb, cov_img, self.K, self.scale, M,
+            self.corr_cfg, cfg.photo_construction.nonmax_suppression_window,
+            self.img_size)
 
         tracked = np.array(res.tracked)
         src = np.array(res.src_anchor)
@@ -366,6 +396,7 @@ class Mapping:
         new_row[tracked] = self.anchor_lm_host[last][src[tracked]]
 
         shifting = self.num_kf >= Kdim
+        rel_mask = np.zeros(self.dims.L, bool)
         if shifting:
             # release the dropped keyframe's unreferenced landmarks FIRST
             # (otherwise a full window with all-distinct landmarks has no
@@ -381,9 +412,7 @@ class Mapping:
             self.anchor_lm_host[-1] = new_row
             slot = Kdim - 1
             self.kf_ts = self.kf_ts[1:] + [timestamp]
-            rel_mask = np.zeros(self.dims.L, bool)
             rel_mask[released] = True
-            self.state = _roll_kf_state(self.state, jnp.array(rel_mask))
         else:
             new_row[~tracked] = self.alloc.alloc(n_new)
             slot = self.num_kf
@@ -391,21 +420,16 @@ class Mapping:
             self.kf_ts.append(timestamp)
             self.num_kf += 1
 
-        prep = prep_keyframe(rgb, cov_img, res.coords_all, self.K, self.scale,
-                             cfg.photo_construction.nonmax_suppression_window)
-        Pw_new = _anchors_world(pose_init, res.coords_all, res.z_all, self.K)
-        self.state = _write_kf_state(
-            self.state, jnp.int32(slot), pose_init, aff_init, prep, rgb,
-            cov_img, res.coords_all, jnp.log(jnp.maximum(res.z_all, 1e-9)),
-            jnp.array(~tracked), jnp.array(new_row), Pw_new,
-            jnp.array(~tracked))
-
         window_full = self.num_kf >= Kdim
         fix = np.zeros(self.dims.L, bool)
         if window_full:
             fix[self.anchor_lm_host[0]] = True  # freeze new-oldest KF's landmarks
-        self.state = _finalize_kf_state(
-            self.state, jnp.int32(slot), jnp.asarray(window_full),
+        self.state = _insert_kf_state(
+            self.state, jnp.asarray(shifting), jnp.array(rel_mask),
+            jnp.int32(slot), pose_init, aff_init, prep, rgb, cov_img,
+            res.coords_all, jnp.log(jnp.maximum(res.z_all, 1e-9)),
+            jnp.array(~tracked), jnp.array(new_row), Pw_new,
+            jnp.array(~tracked), jnp.asarray(window_full),
             jnp.asarray(window_full), jnp.array(fix))
         self.prune_one_way()
         self._rebuild_pairs()
