@@ -82,6 +82,15 @@ class SigmasConfig:
     # prior gating modes (reference depth_prior.py / pixel_prior.py)
     log_depth_mode: str = "first_mean"
     pixel_mode: str = "first"
+    # robustness guards beyond the reference (gn_step._scaffold/_finish):
+    # far-depth landmark reinit threshold (x median depth) and per-iteration
+    # landmark trust region (x scene scale)
+    far_depth_ratio: float = 50.0
+    lm_step_frac: float = 0.25
+    # occlusion-aware photometric association: gate dense residuals whose
+    # warped point lies > thresh (log-depth) behind the target KF's own GP
+    # surface (gn_step._photo; 0 disables)
+    occlusion_thresh: float = 0.1
 
 
 @dataclass

@@ -219,8 +219,12 @@ def get_dataset(dataset_type: str, img_size, dataset_dir: Optional[str] = None,
         return ScanNetDataset(dataset_dir, img_size, **kwargs)
     if dataset_type == "realsense":
         return RealsenseDataset(img_size, kwargs.get("rs_cfg"))
-    if dataset_type == "synthetic":
+    if dataset_type.startswith("synthetic"):
+        # "synthetic" (plane world) or "synthetic:<scene>" (e.g.
+        # synthetic:clutter — the hard multi-object world)
         from como_tpu.data.synthetic import SyntheticDataset
-        return SyntheticDataset(img_size=img_size,
-                                n_frames=kwargs.get("n_frames", 120))
+        scene = dataset_type.split(":", 1)[1] if ":" in dataset_type else "plane"
+        return SyntheticDataset(img_size=img_size, scene=scene,
+                                n_frames=kwargs.get("n_frames", 120),
+                                step=kwargs.get("step", 0.02))
     raise ValueError(f"unknown dataset_type '{dataset_type}'")

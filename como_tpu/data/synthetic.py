@@ -95,13 +95,195 @@ class PlaneScene:
         return jnp.array(np.stack(poses))
 
 
+class ClutterScene:
+    """Hard synthetic world: ground plane + back wall + spheres + boxes.
+
+    Everything has a closed-form ray intersection, so depth is exact under
+    any pose and every view is exactly multi-view consistent.  Unlike
+    PlaneScene this world has occlusions, large depth discontinuities at
+    object silhouettes, and per-object texture discontinuities — it
+    stresses the correspondence discontinuity filter, behind-camera
+    landmark reinit, and the robust losses the way real sequences
+    (the reference's validation path, /root/reference/README.md:25-31) do.
+
+    Camera convention: x right, y down, z forward; cameras start at the
+    origin looking +z.  The ground is at y = +0.9 (below), the back wall
+    at z = 4.2, objects scattered at depths ~1.2-3 m.
+    """
+
+    EPS = 5e-2  # min hit distance (z-depth)
+
+    def __init__(self, img_size=(192, 256), seed: int = 0, num_waves: int = 24,
+                 max_freq: float = 6.0, num_spheres: int = 5, num_boxes: int = 3):
+        self.img_size = tuple(img_size)
+        self.K = default_intrinsics(img_size)
+        rng = np.random.default_rng(seed)
+
+        # primitives: 2 planes + spheres + boxes
+        # object cluster sits around the orbit center (z ~ 2.8) with >= ~1.2 m
+        # clearance from the camera arc (trajectory() orbits at radius 2.8
+        # through x in [-2.2, 0], z in [0, 1.0]) — hard geometry in view,
+        # but the camera never brushes an object.
+        planes_n = np.array([[0.0, -1.0, 0.02],        # ground (y = +0.9)
+                             [0.08, -0.06, -1.0]])     # back wall (z ~ 4.8)
+        planes_n = planes_n / np.linalg.norm(planes_n, axis=-1, keepdims=True)
+        planes_d = np.array([np.dot(planes_n[0], [0.0, 0.9, 0.0]),
+                             np.dot(planes_n[1], [0.0, 0.0, 4.8])])
+        centers = np.stack([
+            rng.uniform(-0.9, 0.9, size=num_spheres),
+            rng.uniform(-0.35, 0.75, size=num_spheres),
+            rng.uniform(1.8, 3.4, size=num_spheres),
+        ], axis=-1)
+        radii = rng.uniform(0.15, 0.35, size=num_spheres)
+        box_c = np.stack([
+            rng.uniform(-1.0, 1.0, size=num_boxes),
+            rng.uniform(0.0, 0.7, size=num_boxes),
+            rng.uniform(2.0, 3.6, size=num_boxes),
+        ], axis=-1)
+        box_h = np.stack([
+            rng.uniform(0.15, 0.4, size=num_boxes),
+            rng.uniform(0.15, 0.5, size=num_boxes),
+            rng.uniform(0.12, 0.3, size=num_boxes),
+        ], axis=-1)
+        self.planes_n = jnp.array(planes_n, jnp.float32)
+        self.planes_d = jnp.array(planes_d, jnp.float32)
+        self.sph_c = jnp.array(centers, jnp.float32)
+        self.sph_r = jnp.array(radii, jnp.float32)
+        self.box_lo = jnp.array(box_c - box_h, jnp.float32)
+        self.box_hi = jnp.array(box_c + box_h, jnp.float32)
+
+        # per-primitive world-space texture (texture discontinuity at
+        # silhouettes): each primitive gets its own wave set
+        n_prim = 2 + num_spheres + num_boxes
+        self.n_prim = n_prim
+        f = rng.uniform(0.8, max_freq, size=(n_prim, num_waves, 3))
+        a = rng.uniform(0.2, 1.0, size=(n_prim, num_waves))
+        a = 0.35 * a / a.sum(axis=-1, keepdims=True) * num_waves ** 0.5
+        ph = rng.uniform(0, 2 * np.pi, size=(n_prim, num_waves))
+        # distinct per-primitive mean brightness to make silhouettes pop
+        self.base = jnp.array(rng.uniform(0.35, 0.65, size=n_prim), jnp.float32)
+        self.freqs = jnp.array(f, jnp.float32)
+        self.amps = jnp.array(a, jnp.float32)
+        self.phases = jnp.array(ph, jnp.float32)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def render(self, T_wc: jax.Array):
+        """Render from camera-to-world pose T_wc (4,4) by exact ray casting.
+
+        Returns rgb (1, 3, H, W) in [0,1] and z-depth (1, 1, H, W).
+        """
+        h, w = self.img_size
+        K = self.K
+        ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        rx = (xs - K[0, 2]) / K[0, 0]
+        ry = (ys - K[1, 2]) / K[1, 1]
+        r = jnp.stack([rx, ry, jnp.ones_like(rx)], axis=-1)  # cam rays, z=1
+
+        R = T_wc[:3, :3]
+        o = T_wc[:3, 3]
+        d = jnp.einsum("ij,hwj->hwi", R, r)  # world ray dirs (z-depth param)
+        INF = jnp.float32(1e9)
+
+        # planes: t = (d0 - n.o) / (n.d)
+        ndotd = jnp.einsum("hwi,pi->hwp", d, self.planes_n)
+        t_pl = (self.planes_d[None, None] - jnp.dot(self.planes_n, o)) / ndotd
+        t_pl = jnp.where(t_pl > self.EPS, t_pl, INF)
+
+        # spheres: |o + t d - c|^2 = r^2, near root
+        oc = o[None] - self.sph_c                        # (S, 3)
+        a2 = jnp.sum(d * d, axis=-1)[..., None]          # (H, W, 1)
+        b = 2.0 * jnp.einsum("hwi,si->hws", d, oc)
+        c = jnp.sum(oc * oc, axis=-1)[None, None] - (self.sph_r ** 2)[None, None]
+        disc = b * b - 4.0 * a2 * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_sp = (-b - sq) / (2.0 * a2)
+        t_sp = jnp.where((disc > 0) & (t_sp > self.EPS), t_sp, INF)
+
+        # boxes: slab method
+        safe_d = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)[:, :, None, :]  # (H,W,1,3)
+        t0 = (self.box_lo[None, None] - o) / safe_d
+        t1 = (self.box_hi[None, None] - o) / safe_d
+        t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)   # (H, W, B)
+        t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        t_bx = jnp.where((t_near <= t_far) & (t_near > self.EPS), t_near, INF)
+
+        t_all = jnp.concatenate([t_pl, t_sp, t_bx], axis=-1)  # (H, W, P)
+        idx = jnp.argmin(t_all, axis=-1)                       # (H, W)
+        t_hit = jnp.take_along_axis(t_all, idx[..., None], axis=-1)[..., 0]
+        t_hit = jnp.minimum(t_hit, 50.0)  # rays that miss: far dome
+        Pw = o[None, None] + t_hit[..., None] * d
+
+        # per-primitive texture gathered at the hit index
+        fr = self.freqs[idx]        # (H, W, K, 3)
+        am = self.amps[idx]
+        ph = self.phases[idx]
+        arg = jnp.einsum("hwi,hwki->hwk", Pw, fr) + ph
+        tex = self.base[idx] + jnp.einsum("hwk,hwk->hw", jnp.sin(arg), am)
+        tex = jnp.clip(tex, 0.0, 1.0)
+        rgb = jnp.stack([tex, tex, tex], axis=0)[None]
+        depth = t_hit[None, None]
+        return rgb, depth
+
+    def trajectory(self, n_frames: int, step: float = 0.012,
+                   rot_step: float = 0.0, seed: int = 1):
+        """Orbit arc around the scene with look-at orientation plus smooth
+        positional noise: the clutter stays in view, parallax is strong,
+        and (unlike PlaneScene's near-pure-translation walk) the camera
+        genuinely rotates — total yaw grows with n_frames * step.
+
+        step ~ linear metres per frame along the arc; rot_step adds extra
+        smooth look-target jitter (radians-scale).
+        """
+        rng = np.random.default_rng(seed)
+        center = np.array([0.0, 0.25, 2.8])
+        start = np.zeros(3)
+        radius = np.linalg.norm(center - start)
+        theta0 = np.arctan2(start[0] - center[0], start[2] - center[2])
+        down = np.array([0.0, 1.0, 0.0])
+
+        poses = []
+        pos_noise = np.zeros(3)
+        tgt_noise = np.zeros(3)
+        theta = theta0
+        for _ in range(n_frames):
+            pos_noise = 0.85 * pos_noise + 0.3 * step * rng.normal(size=3)
+            tgt_noise = 0.85 * tgt_noise + (0.2 * step + 0.5 * rot_step) \
+                * rng.normal(size=3)
+            pos = center + radius * np.array(
+                [np.sin(theta), 0.0, np.cos(theta)]) + pos_noise
+            pos[1] = start[1] + pos_noise[1]  # stay at eye height
+            z = center + tgt_noise - pos
+            z = z / np.linalg.norm(z)
+            x = np.cross(down, z)
+            x = x / np.linalg.norm(x)
+            y = np.cross(z, x)
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = x, y, z, pos
+            poses.append(T)
+            theta += step / radius
+        return jnp.array(np.stack(poses))
+
+
+_SCENES = {"plane": PlaneScene, "clutter": ClutterScene}
+
+
 class SyntheticDataset:
-    """Dataset-shaped wrapper over PlaneScene: iterates (timestamp, rgb)."""
+    """Dataset-shaped wrapper over a synthetic scene: iterates (ts, rgb).
+
+    scene="plane" is the easy single-plane world; scene="clutter" is the
+    hard multi-object world with occlusions and depth discontinuities.
+    """
 
     def __init__(self, n_frames: int = 60, img_size=(192, 256), fps: float = 30.0,
-                 seed: int = 0, step: float = 0.02):
-        self.scene = PlaneScene(img_size=img_size, seed=seed)
-        self.poses = self.scene.trajectory(n_frames, step=step)
+                 seed: int = 0, step: float = 0.02, scene: str = "plane",
+                 rot_step: float | None = None):
+        if scene not in _SCENES:
+            raise ValueError(
+                f"unknown synthetic scene '{scene}' (have {sorted(_SCENES)})")
+        self.scene = _SCENES[scene](img_size=img_size, seed=seed)
+        traj_kwargs = {} if rot_step is None else {"rot_step": rot_step}
+        self.poses = self.scene.trajectory(n_frames, step=step, **traj_kwargs)
         self.fps = fps
         self.intrinsics = self.scene.K
         self.img_size = tuple(img_size)

@@ -56,7 +56,8 @@ class GNStats(NamedTuple):
 # ---------------------------------------------------------------------------
 # scaffold: landmarks -> per-KF anchors
 
-def _scaffold(state: WindowState, K_intr, dims: WindowDims):
+def _scaffold(state: WindowState, K_intr, dims: WindowDims,
+              far_ratio: float = 50.0):
     K, M = dims.K, dims.M
     pose = state.kf_pose
     Twc_inv = lie.invert_se3(pose)                      # (K, 4, 4)
@@ -87,7 +88,12 @@ def _scaffold(state: WindowState, K_intr, dims: WindowDims):
                             precision=HIGH) + tcw[:, None]
 
     z = Pc[..., 2]
-    z_bad = z < 0.1 * med
+    # near guard from the reference (sparse_map.py:27-41: z < 0.1 median ->
+    # reinit at median); the far guard is ours: on worlds with strong depth
+    # discontinuities a silhouette landmark can run away to z >> scene scale
+    # (photometric cost is flat there, GN keeps pushing), so reinit
+    # symmetrically when it exceeds far_ratio x median.
+    z_bad = (z < 0.1 * med) | (z > far_ratio * med)
     Pc = jnp.where(z_bad[..., None], init_Pc_km, Pc)
     z = jnp.maximum(Pc[..., 2], 1e-6)
     logzm = jnp.log(z)
@@ -158,7 +164,7 @@ def _dense_points(state: WindowState, sc, K_intr, dims: WindowDims):
 # photometric pair linearization
 
 def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
-           dims: WindowDims, axis_name=None):
+           dims: WindowDims, axis_name=None, occl_thresh: float = 0.0):
     K, O, M, ND = dims.K, dims.O, dims.M, dims.ND
     F = K + O
     H_img, W_img = dims.H, dims.W
@@ -204,6 +210,25 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
              & (zj > 0)
              & pairs_valid[:, None] & state.kf_valid[i][:, None]
              & valid_f[j][:, None])
+
+    if occl_thresh > 0.0:
+        # occlusion gate (ours; the reference's projective association,
+        # photo.py:105-111, samples the target image blindly): a warped
+        # point lying more than occl_thresh (log-depth) BEHIND the target
+        # keyframe's own GP surface is occluded there — its residual would
+        # compare the ref surface against whatever nearer surface covers
+        # that pixel.  Only KF targets carry a depth model; one-way frames
+        # are left ungated.
+        logz_tgt = jnp.einsum("khm,km->kh", state.Knm_full, sc["logzm"],
+                              precision=HIGH)               # (K, H*W)
+        logz_img = jnp.concatenate([
+            logz_tgt.reshape(K, 1, H_img, W_img),
+            jnp.zeros((O, 1, H_img, W_img), logz_tgt.dtype)], 0)
+        lz_s = jax.vmap(lambda im, xy: bilinear_sample(im, xy, "border"))(
+            logz_img[j], jnp.stack([px, py], -1))[:, 0]     # (P, ND)
+        is_kf_tgt = (j < K)[:, None]
+        occluded = is_kf_tgt & (jnp.log(zj_safe) > lz_s + occl_thresh)
+        valid = valid & ~occluded
 
     ea = jnp.exp(aff_j[:, 0] - aff_i[:, 0])[:, None]
     vals_scaled = ea * vals_i
@@ -275,13 +300,13 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
 def _gn_step_impl(state: WindowState, pairs_ref, pairs_tgt, pairs_valid,
                   K_intr, dims: WindowDims, sigmas, damping=1e-6):
     """One GN iteration.  sigmas: hashable namedtuple (see SigmaStatic)."""
-    sc = _scaffold(state, K_intr, dims)
+    sc = _scaffold(state, K_intr, dims, sigmas.far_depth_ratio)
     state = state._replace(P_lm=sc["P_lm_new"])
     # re-evaluating anchors against reinitialized landmarks is implicit: the
     # scaffold already substituted reinit values for the bad entries.
     dn = _dense_points(state, sc, K_intr, dims)
     photo = _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid,
-                   K_intr, dims)
+                   K_intr, dims, occl_thresh=sigmas.occlusion_thresh)
     return _finish(state, sc, dn, photo, K_intr, dims, sigmas, damping)
 
 
@@ -465,11 +490,11 @@ def gn_system(state: WindowState, pairs_ref, pairs_tgt, pairs_valid, K_intr,
               dims: WindowDims, sigmas):
     """Assembled (H, g) of one linearization — for tests/diagnostics
     (g must equal the negative gradient of the frozen-sigma robust cost)."""
-    sc = _scaffold(state, K_intr, dims)
+    sc = _scaffold(state, K_intr, dims, sigmas.far_depth_ratio)
     state = state._replace(P_lm=sc["P_lm_new"])
     dn = _dense_points(state, sc, K_intr, dims)
     photo = _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid,
-                   K_intr, dims)
+                   K_intr, dims, occl_thresh=sigmas.occlusion_thresh)
     return _assemble(state, sc, dn, photo, K_intr, dims, sigmas)
 
 
@@ -502,6 +527,17 @@ def _finish(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
     d_kf = delta[: 8 * K].reshape(K, 8)
     d_ow = delta[8 * K: 8 * F].reshape(O, 8)
     d_lm = delta[8 * F:].reshape(L, 3)
+    # trust region on landmark moves: cap each landmark's step at
+    # lm_step_frac x scene scale (mean of per-KF median depths).  GN runs
+    # every frame, so a genuinely far move still completes in a few
+    # iterations; what this prevents is the single-iteration overshoot
+    # that seeds the silhouette-landmark runaway on discontinuous worlds.
+    kfw = state.kf_valid.astype(dtype)
+    scene_scale = jnp.sum(state.median_depth * kfw) / jnp.maximum(
+        jnp.sum(kfw), 1.0)
+    cap = sigmas.lm_step_frac * scene_scale
+    d_norm = jnp.linalg.norm(d_lm, axis=-1, keepdims=True)
+    d_lm = d_lm * jnp.minimum(1.0, cap / jnp.maximum(d_norm, 1e-12))
     kf_pose = state.kf_pose @ lie.se3_exp(d_kf[:, :6])
     ow_pose = state.ow_pose @ lie.se3_exp(d_ow[:, :6])
     state = state._replace(
@@ -545,6 +581,11 @@ class SigmaStatic(NamedTuple):
     pixel_all: float = 3.33e-1
     log_depth_mode: str = "first_mean"
     pixel_mode: str = "first"
+    # robustness guards (no reference equivalent; see _scaffold/_finish)
+    far_depth_ratio: float = 50.0
+    lm_step_frac: float = 0.25
+    # occlusion-aware photometric association (_photo; 0 disables)
+    occlusion_thresh: float = 0.1
 
 
 def _prior_mode_weights(mode: str, first_mask, info_first: float,

@@ -80,6 +80,21 @@ def track_and_init(pose1, pose2, pm1_xy, logzm1, depth_img1, cov_img2,
     mask_m = interior(pj_m, zj_m)
     mask_n = interior(pj_n, zj_n)
 
+    # visibility (z-buffer) filter on the reprojected dense cloud: points of
+    # the old KF that are *occluded* in the new frame land on top of their
+    # occluder's pixels and would bias the distill toward phantom depths on
+    # worlds with occlusions.  Scatter-min per target pixel, keep points
+    # within 20% of the front surface.  (The reference distills from the
+    # raw cloud — its trained anisotropic kernels absorb some of this; the
+    # explicit filter is the geometry-first equivalent.)
+    px = jnp.clip(jnp.round(pj_n[:, 0]).astype(jnp.int32), 0, W - 1)
+    py = jnp.clip(jnp.round(pj_n[:, 1]).astype(jnp.int32), 0, H - 1)
+    flat = py * W + px
+    zbuf = jnp.full((H * W,), jnp.inf, dtype).at[flat].min(
+        jnp.where(mask_n, zj_n, jnp.inf))
+    front = zj_n <= 1.2 * zbuf[flat]
+    mask_n = mask_n & front
+
     # park invalid anchors at distinct far coords so their kernel columns
     # decouple (static-shape replacement for the reference's row filtering)
     sent = jnp.stack([-10.0 - 3.0 * jnp.arange(M, dtype=dtype),
@@ -171,6 +186,11 @@ def track_and_init(pose1, pose2, pm1_xy, logzm1, depth_img1, cov_img2,
     # of the observed cloud (in-algorithm robustness; cf. the reference's
     # behind-camera reinit)
     z_med = jnp.exp(linalg_masked_median(logz_obs, mask_n))
+    # if the observation cloud itself degenerated (e.g. nothing reprojects
+    # into the new frame), fall back to the old KF's anchor median so the
+    # insertion stays finite instead of poisoning the window
+    z_med = jnp.where(jnp.isfinite(z_med) & (z_med > 1e-4), z_med,
+                      jnp.exp(jnp.median(logzm1)))
     z_ok = jnp.isfinite(z_all) & (z_all > 1e-4) & (z_all < 1e4)
     z_all = jnp.where(z_ok, z_all, z_med)
     # new-anchor pixel coords from the sampler's domain grid

@@ -288,7 +288,10 @@ class Mapping:
             log_depth_all=cfg.sigmas.log_depth_all,
             pixel_first=cfg.sigmas.pixel_first, pixel_all=cfg.sigmas.pixel_all,
             log_depth_mode=cfg.sigmas.log_depth_mode,
-            pixel_mode=cfg.sigmas.pixel_mode)
+            pixel_mode=cfg.sigmas.pixel_mode,
+            far_depth_ratio=cfg.sigmas.far_depth_ratio,
+            lm_step_frac=cfg.sigmas.lm_step_frac,
+            occlusion_thresh=cfg.sigmas.occlusion_thresh)
         self.corr_cfg = corr_mod.CorrStatic(
             corr_thresh=cfg.corr.corr_thresh, min_obs_depth=cfg.corr.min_obs_depth,
             logz_grad_mag_thresh=cfg.corr.logz_grad_mag_thresh,
@@ -434,8 +437,6 @@ class Mapping:
         self.prune_one_way()
         self._rebuild_pairs()
         self.converged = False
-        self.iter_count = 0
-        self._prev_err = float("inf")
         self.iter_count = 0
         self._prev_err = float("inf")
 

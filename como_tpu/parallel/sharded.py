@@ -53,7 +53,7 @@ def make_sharded_gn_step(mesh: Mesh, dims: WindowDims, sigmas,
 
     def photo_local(state, sc, dn, pr, pt, pv, K_intr):
         out = gs._photo(state, sc, dn, pr, pt, pv, K_intr, dims,
-                        axis_name=axis)
+                        axis_name=axis, occl_thresh=sigmas.occlusion_thresh)
         return jax.tree.map(lambda x: jax.lax.psum(x, axis), out)
 
     photo_sharded = shard_map(
@@ -64,7 +64,7 @@ def make_sharded_gn_step(mesh: Mesh, dims: WindowDims, sigmas,
 
     @partial(jax.jit, static_argnames=())
     def step(state: WindowState, pairs_ref, pairs_tgt, pairs_valid, K_intr):
-        sc = gs._scaffold(state, K_intr, dims)
+        sc = gs._scaffold(state, K_intr, dims, sigmas.far_depth_ratio)
         state = state._replace(P_lm=sc["P_lm_new"])
         dn = gs._dense_points(state, sc, K_intr, dims)
         photo = photo_sharded(state, sc, dn, pairs_ref, pairs_tgt,
