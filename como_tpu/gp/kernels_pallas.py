@@ -109,8 +109,19 @@ def cross_covariance_pallas(x_n: jax.Array, e_n: jax.Array, x_m: jax.Array,
     return out[:N, :M]
 
 
+def _tpu_in_scope() -> bool:
+    """True when the computation will land on a TPU: honors a pinned
+    jax.default_device (stage->device placement can put one stage on CPU
+    while the process default backend is TPU), else the default backend."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        platform = dd if isinstance(dd, str) else dd.platform
+        return platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def cross_covariance(x_n, e_n, x_m, e_m, scale):
     """Pallas on TPU, XLA elsewhere."""
-    if _HAS_PALLAS and jax.default_backend() == "tpu":
+    if _HAS_PALLAS and _tpu_in_scope():
         return cross_covariance_pallas(x_n, e_n, x_m, e_m, scale)
     return xla_kernels.cross_covariance(x_n, e_n, x_m, e_m, scale)

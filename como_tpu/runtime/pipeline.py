@@ -27,6 +27,8 @@ import numpy as np
 from como_tpu.config import ComoConfig
 from como_tpu.odom.mapping import Mapping
 from como_tpu.odom.tracking import Tracking
+from como_tpu.runtime.placement import (device_scope, resolve_device,
+                                        tree_device_put)
 from como_tpu.runtime.queues import make_queue
 from como_tpu.utils.io import save_traj
 
@@ -36,9 +38,17 @@ _END = ("end",)
 class ComoPipeline:
     def __init__(self, cfg: ComoConfig, intrinsics, img_size):
         self.cfg = cfg
-        self.tracking = Tracking(cfg=cfg.tracking, intrinsics=intrinsics,
-                                 img_size=tuple(img_size))
-        self.mapping = Mapping(cfg.mapping, intrinsics, tuple(img_size))
+        # per-stage device placement (reference como.yml:5,27); each stage
+        # thread pins its compute + arrays to its device, and queue messages
+        # crossing the stage boundary move via device_put (the TPU analog of
+        # TupleTensorQueue's transfer-on-push, multiprocessing.py:41-46)
+        self.track_dev = resolve_device(cfg.tracking.device)
+        self.map_dev = resolve_device(cfg.mapping.device)
+        with device_scope(self.track_dev):
+            self.tracking = Tracking(cfg=cfg.tracking, intrinsics=intrinsics,
+                                     img_size=tuple(img_size))
+        with device_scope(self.map_dev):
+            self.mapping = Mapping(cfg.mapping, intrinsics, tuple(img_size))
         self.rgb_q = make_queue(5)
         self.pose_q = make_queue(8)
         self.frame_q = make_queue(1)
@@ -50,8 +60,10 @@ class ComoPipeline:
         self._threads: List[threading.Thread] = []
 
     def setup(self):
-        self.tracking.setup()
-        self.mapping.setup()
+        with device_scope(self.track_dev):
+            self.tracking.setup()
+        with device_scope(self.map_dev):
+            self.mapping.setup()
         self._threads = [
             threading.Thread(target=self._tracking_loop, daemon=True,
                              name="tracking"),
@@ -63,61 +75,68 @@ class ComoPipeline:
 
     # -- tracking thread (reference TrackingMp.run) ---------------------------
     def _tracking_loop(self):
-        while True:
-            kf_data = self.kf_ref_q.pop_until_latest(timeout=0.002)
-            if kf_data is not None:
-                if kf_data[0] == "end":
-                    self.pose_q.push(_END, block=False)
-                    return
-                self.tracking.update_kf_reference(kf_data)
+        with device_scope(self.track_dev):
+            while True:
+                kf_data = self.kf_ref_q.pop_until_latest(timeout=0.002)
+                if kf_data is not None:
+                    if kf_data[0] == "end":
+                        self.pose_q.push(_END, block=False)
+                        return
+                    self.tracking.update_kf_reference(
+                        tree_device_put(kf_data, self.track_dev))
 
-            data = self.rgb_q.pop(timeout=0.002)
-            if data is None:
-                continue
-            if data[0] == "end":
-                self.frame_q.push(_END)
-                continue
-            ts, rgb = data
-            if not self.tracking.mapping_init:
-                self.frame_q.push(("init", ts, rgb))
-                continue
-            track_viz, track_map = self.tracking.handle_frame(ts, rgb)
-            self.pose_q.push(track_viz, block=False)
-            if track_map is not None:
-                self.frame_q.push(track_map)
+                data = self.rgb_q.pop(timeout=0.002)
+                if data is None:
+                    continue
+                if data[0] == "end":
+                    self.frame_q.push(_END)
+                    continue
+                ts, rgb = data
+                if not self.tracking.mapping_init:
+                    self.frame_q.push(("init", ts, rgb))
+                    continue
+                rgb = tree_device_put(rgb, self.track_dev)
+                track_viz, track_map = self.tracking.handle_frame(ts, rgb)
+                self.pose_q.push(track_viz, block=False)
+                if track_map is not None:
+                    self.frame_q.push(track_map)
 
     # -- mapping thread (reference MappingMp.run) ------------------------------
     def _mapping_loop(self):
         m = self.mapping
         last_ref_sent = 0.0
-        while True:
-            kf_updated = False
-            if not m.is_init:
-                data = self.frame_q.pop_until_latest(timeout=0.01)
-                if data is not None:
-                    if data[0] == "end":
-                        break
-                    if data[0] == "init":
-                        kf_updated = m.attempt_two_frame_init(data[1], data[2])
-            else:
-                data = self.frame_q.pop(timeout=0.005)
-                if data is not None:
-                    if data[0] == "end":
-                        break
-                    if data[0] == "init":
-                        pass  # stale bootstrap frame raced past init
-                    else:
-                        kf_updated = m.handle_tracking_data(data)
-                        self.viz_q.push(m.get_kf_viz_data(), block=False)
+        with device_scope(self.map_dev):
+            while True:
+                kf_updated = False
+                if not m.is_init:
+                    data = self.frame_q.pop_until_latest(timeout=0.01)
+                    if data is not None:
+                        if data[0] == "end":
+                            break
+                        if data[0] == "init":
+                            kf_updated = m.attempt_two_frame_init(
+                                data[1], tree_device_put(data[2], self.map_dev))
+                else:
+                    data = self.frame_q.pop(timeout=0.005)
+                    if data is not None:
+                        if data[0] == "end":
+                            break
+                        if data[0] == "init":
+                            pass  # stale bootstrap frame raced past init
+                        else:
+                            data = tree_device_put(data, self.map_dev)
+                            kf_updated = m.handle_tracking_data(data)
+                            self.viz_q.push(m.get_kf_viz_data(), block=False)
 
-            if m.is_init and m.maybe_iterate() is not None:
-                kf_updated = True
+                if m.is_init and m.maybe_iterate() is not None:
+                    kf_updated = True
 
-            now = time.monotonic()
-            if m.is_init and (kf_updated or now - last_ref_sent > 1.0):
-                ref = m.get_kf_ref_data(self.cfg.mapping.track_ref_num_keyframes)
-                self.kf_ref_q.push(ref, block=False)
-                last_ref_sent = now
+                now = time.monotonic()
+                if m.is_init and (kf_updated or now - last_ref_sent > 1.0):
+                    ref = m.get_kf_ref_data(
+                        self.cfg.mapping.track_ref_num_keyframes)
+                    self.kf_ref_q.push(ref, block=False)
+                    last_ref_sent = now
 
         self.kf_ref_q.push(_END, block=False)
         self.viz_q.push(_END, block=False)

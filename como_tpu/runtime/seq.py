@@ -33,6 +33,8 @@ from como_tpu.odom.mapping import Mapping
 from como_tpu.odom.tracking import Tracking, frame_stats, predict_const_velocity
 from como_tpu.odom.frontend import tracking_kernels as tk
 from como_tpu.ops import image as img_ops
+from como_tpu.runtime.placement import (device_scope, resolve_device,
+                                        tree_device_put)
 from como_tpu.utils.io import save_traj
 from como_tpu.utils.log import EventLog
 
@@ -68,9 +70,20 @@ def _fused_frame_program(levels, rgb, T_init, aff_init, T_w_kf,
 class ComoSeq:
     def __init__(self, cfg: ComoConfig, intrinsics, img_size):
         self.cfg = cfg
-        self.tracking = Tracking(cfg=cfg.tracking, intrinsics=intrinsics,
-                                 img_size=tuple(img_size))
-        self.mapping = Mapping(cfg.mapping, intrinsics, tuple(img_size))
+        # stage -> device placement (reference como.yml tracking/mapping
+        # "device:"; cross-device ComoSeq.py:49-51 transfer_data analog).
+        # When the stages live on different devices the fused
+        # track+GN program is split into two per-device dispatches that
+        # still overlap (async dispatch), and stage-boundary tensors cross
+        # via device_put (ICI on multi-core TPU).
+        self.track_dev = resolve_device(cfg.tracking.device)
+        self.map_dev = resolve_device(cfg.mapping.device)
+        self.split_devices = self.track_dev != self.map_dev
+        with device_scope(self.track_dev):
+            self.tracking = Tracking(cfg=cfg.tracking, intrinsics=intrinsics,
+                                     img_size=tuple(img_size))
+        with device_scope(self.map_dev):
+            self.mapping = Mapping(cfg.mapping, intrinsics, tuple(img_size))
         self.timestamps: List[float] = []
         self.est_poses: List = []       # device arrays; converted lazily
         self.viz_listener = None
@@ -81,8 +94,10 @@ class ComoSeq:
         self.log = EventLog()
 
     def setup(self):
-        self.tracking.setup()
-        self.mapping.setup()
+        with device_scope(self.track_dev):
+            self.tracking.setup()
+        with device_scope(self.map_dev):
+            self.mapping.setup()
 
     def _resolve_one(self):
         """Decide + record the oldest dispatched frame."""
@@ -93,7 +108,9 @@ class ComoSeq:
         self.est_poses.append(p["T_w_curr"])
         kf_inserted = False
         if track_map is not None:
-            kf_inserted = m.handle_tracking_data(track_map)
+            with device_scope(self.map_dev):
+                track_map = tree_device_put(track_map, self.map_dev)
+                kf_inserted = m.handle_tracking_data(track_map)
             self.log.emit("insert", frame_kind=track_map[0], ts=p["ts"],
                           num_kf=m.num_kf, num_ow=m.num_ow)
         return kf_inserted
@@ -105,7 +122,9 @@ class ComoSeq:
 
         if not m.is_init:
             self._pending = []
-            m.attempt_two_frame_init(timestamp, rgb)
+            with device_scope(self.map_dev):
+                m.attempt_two_frame_init(
+                    timestamp, tree_device_put(rgb, self.map_dev))
             if m.is_init:
                 pose = m.state.kf_pose[m.num_kf - 1]
                 self.timestamps.append(timestamp)
@@ -120,7 +139,15 @@ class ComoSeq:
         if kf_inserted or (timestamp - self._last_ref_ts > self.ref_period):
             self._refresh_reference(timestamp)
 
-        if m.should_iterate():
+        if self.split_devices:
+            # two devices: separate per-stage programs, async dispatch
+            # keeps them overlapping (the reference's cuda:0/cuda:1 mode)
+            with device_scope(self.track_dev):
+                self._pending.append(self.tracking.dispatch_frame(
+                    timestamp, tree_device_put(rgb, self.track_dev)))
+            with device_scope(self.map_dev):
+                m.maybe_iterate()
+        elif m.should_iterate():
             self._pending.append(self._dispatch_fused(timestamp, rgb))
         else:
             self._pending.append(self.tracking.dispatch_frame(timestamp, rgb))
@@ -158,8 +185,11 @@ class ComoSeq:
 
     def _refresh_reference(self, timestamp, force=False):
         m = self.mapping
-        ref = m.get_kf_ref_data(self.cfg.mapping.track_ref_num_keyframes)
-        self.tracking.update_kf_reference(ref)
+        with device_scope(self.map_dev):
+            ref = m.get_kf_ref_data(self.cfg.mapping.track_ref_num_keyframes)
+        with device_scope(self.track_dev):
+            self.tracking.update_kf_reference(
+                tree_device_put(ref, self.track_dev))
         self._last_ref_ts = timestamp
         if self.viz_listener is not None:
             self.viz_listener(m.get_kf_viz_data())
