@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from como_tpu.geometry import lie
 from como_tpu.odom.window import WindowDims, WindowState
-from como_tpu.ops.interp import bilinear_sample
+from como_tpu.ops.interp import bilinear_sample, bilinear_sample_frames
 from como_tpu.ops.reduce import fast_mad_sigma, histogram_median
 
 from como_tpu.odom.backend.robust import huber as _huber_w
@@ -202,8 +202,7 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
     px = fx * Pcj[..., 0] / zj_safe + cx
     py = fy * Pcj[..., 1] / zj_safe + cy
 
-    samp = jax.vmap(lambda img, xy: bilinear_sample(img, xy, "zeros"))(
-        img_f[j], jnp.stack([px, py], -1))              # (P, 3, ND)
+    samp = bilinear_sample_frames(img_f, j, jnp.stack([px, py], -1))  # (P,3,ND)
     I_t, gx, gy = samp[:, 0], samp[:, 1], samp[:, 2]
 
     valid = ((px >= 1) & (px < W_img - 1) & (py >= 1) & (py < H_img - 1)
@@ -218,14 +217,15 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
         # keyframe's own GP surface is occluded there — its residual would
         # compare the ref surface against whatever nearer surface covers
         # that pixel.  Only KF targets carry a depth model; one-way frames
-        # are left ungated.
+        # are left ungated.  Nearest-neighbor gather: a threshold test
+        # needs no subpixel interpolation, and one gather is ~8 ms cheaper
+        # than a bilinear sample at full problem size.
         logz_tgt = jnp.einsum("khm,km->kh", state.Knm_full, sc["logzm"],
                               precision=HIGH)               # (K, H*W)
-        logz_img = jnp.concatenate([
-            logz_tgt.reshape(K, 1, H_img, W_img),
-            jnp.zeros((O, 1, H_img, W_img), logz_tgt.dtype)], 0)
-        lz_s = jax.vmap(lambda im, xy: bilinear_sample(im, xy, "border"))(
-            logz_img[j], jnp.stack([px, py], -1))[:, 0]     # (P, ND)
+        px_i = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W_img - 1)
+        py_i = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H_img - 1)
+        jk = jnp.minimum(j, K - 1)
+        lz_s = logz_tgt[jk[:, None], py_i * W_img + px_i]   # (P, ND)
         is_kf_tgt = (j < K)[:, None]
         occluded = is_kf_tgt & (jnp.log(zj_safe) > lz_s + occl_thresh)
         valid = valid & ~occluded
@@ -438,17 +438,14 @@ def _assemble(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
     total_err += info_pp * jnp.sum(xi_pp ** 2) + info_sc * jnp.sum(r_aff ** 2)
 
     # ---- assemble the global system ----------------------------------------
-    Hbig = jnp.zeros((D, D), dtype)
-    gbig = jnp.zeros((D,), dtype)
-    Hbig = Hbig.at[: 8 * F, : 8 * F].set(
-        jnp.transpose(HPP, (0, 2, 1, 3)).reshape(8 * F, 8 * F))
-    gbig = gbig.at[: 8 * F].set(gP.reshape(-1))
-
+    # Scatter-free: TPU serializes duplicate-index scatter-adds into a
+    # (D, D) buffer (measured ~11 ms for the three block scatters at full
+    # size).  Instead, expand each KF's anchor blocks into global landmark
+    # space with one-hot selection matmuls (~1 GFLOP, MXU-friendly) and
+    # build H by block concatenation.
     e = sc["dz_dPw"]                                     # (K, 3)
-    lm_cols = (8 * F + 3 * state.anchor_lm[..., None]
-               + jnp.arange(3)[None, None, :]).reshape(K, 3 * M)
 
-    # expand anchor z-space Hessians to landmark space and scatter per KF
+    # expand anchor z-space Hessians to landmark space, per KF
     HLL = jnp.einsum("kab,ki,kj->kaibj", Hzm, e, e,
                      precision=HIGH).reshape(K, 3 * M, 3 * M)
     # per-anchor 3x3 pixel blocks onto the block diagonal of HLL
@@ -465,23 +462,33 @@ def _assemble(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
     gL = gzm[:, :, None] * e[:, None, :]                 # (K, M, 3)
     gL = (gL + g_anchor_pix).reshape(K, 3 * M)
 
-    rows_pose = jnp.arange(8 * F)
+    # selection one-hots: sel[k, a, j] = 1 iff anchor column a of KF k is
+    # global landmark column j (duplicates across KFs sum via the matmul)
+    lm_idx = (3 * state.anchor_lm[..., None]
+              + jnp.arange(3)[None, None, :]).reshape(K, 3 * M)
+    sel = jax.nn.one_hot(lm_idx, 3 * L, dtype=dtype)     # (K, 3M, 3L)
+
+    HLL_g = jnp.einsum("kaj,kaJ->jJ",
+                       jnp.einsum("kab,kbJ->kaJ", HLL, sel, precision=HIGH),
+                       sel, precision=HIGH)              # (3L, 3L)
     HPL_flat = jnp.transpose(HPL, (0, 2, 1, 3)).reshape(8 * F, K, 3 * M)
-    for k in range(K):
-        cols = lm_cols[k]
-        Hbig = Hbig.at[rows_pose[:, None], cols[None, :]].add(HPL_flat[:, k, :])
-        Hbig = Hbig.at[cols[:, None], rows_pose[None, :]].add(HPL_flat[:, k, :].T)
-        Hbig = Hbig.at[cols[:, None], cols[None, :]].add(HLL[k])
-        gbig = gbig.at[cols].add(gL[k])
+    G = jnp.einsum("rka,kaJ->rJ", HPL_flat, sel, precision=HIGH)  # (8F, 3L)
+    gl_g = jnp.einsum("ka,kaJ->J", gL, sel, precision=HIGH)       # (3L,)
 
     # ---- frozen-landmark prior (marginalization surrogate; Mapping.py:886)
     info_fz = state.window_full.astype(dtype) / (sigmas.scale_prior ** 2)
     fz_mask = state.P_anchor_mask.astype(dtype) * info_fz          # (L,)
     r_fz = (state.P_lm - state.P_anchor_vals)
-    lm_dims = 8 * F + jnp.arange(3 * L)
-    Hbig = Hbig.at[lm_dims, lm_dims].add(jnp.repeat(fz_mask, 3))
-    gbig = gbig.at[lm_dims].add((-fz_mask[:, None] * r_fz).reshape(-1))
+    fz3 = jnp.repeat(fz_mask, 3)
+    HLL_g = HLL_g + jnp.diag(fz3)
+    gl_g = gl_g + (-fz_mask[:, None] * r_fz).reshape(-1)
     total_err += jnp.sum(fz_mask[:, None] * r_fz * r_fz)
+
+    HPP_flat = jnp.transpose(HPP, (0, 2, 1, 3)).reshape(8 * F, 8 * F)
+    Hbig = jnp.concatenate([
+        jnp.concatenate([HPP_flat, G], axis=1),
+        jnp.concatenate([G.T, HLL_g], axis=1)], axis=0)
+    gbig = jnp.concatenate([gP.reshape(-1), gl_g])
     return Hbig, gbig, total_err
 
 

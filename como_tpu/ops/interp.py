@@ -85,6 +85,41 @@ batched_bilinear_sample = jax.vmap(bilinear_sample, in_axes=(0, 0, None))
 batched_img_interp = jax.vmap(img_interp, in_axes=(0, 0))
 
 
+def bilinear_sample_frames(imgs: jax.Array, j: jax.Array, xy: jax.Array) -> jax.Array:
+    """Sample imgs (F, C, H, W) at xy (P, N, 2) from frame j[p] -> (P, C, N).
+
+    Zeros padding.  ONE stacked-index gather over the flattened (C, F*H*W)
+    buffer: XLA's gather cost is extremely layout-sensitive — vmapping
+    bilinear_sample over imgs[j] materializes a (P, C, H, W) copy and runs
+    4 separate gathers (measured 7.7 ms at BA problem size) while this
+    form runs at HBM speed (0.03 ms).
+    """
+    F, C, H, W = imgs.shape
+    x, y = xy[..., 0], xy[..., 1]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1, y1 = x0 + 1, y0 + 1
+
+    def inb(xi, yi):
+        return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(imgs.dtype)
+
+    ms = jnp.stack([inb(x0, y0), inb(x1, y0), inb(x0, y1), inb(x1, y1)])
+    x0c, x1c = jnp.clip(x0, 0, W - 1), jnp.clip(x1, 0, W - 1)
+    y0c, y1c = jnp.clip(y0, 0, H - 1), jnp.clip(y1, 0, H - 1)
+    idx = jnp.stack([y0c * W + x0c, y0c * W + x1c,
+                     y1c * W + x0c, y1c * W + x1c])       # (4, P, N)
+    ws = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
+                    (1 - wx) * wy, wx * wy]) * ms
+    gidx = j[None, :, None] * (H * W) + idx               # (4, P, N)
+    flat = imgs.transpose(1, 0, 2, 3).reshape(C, F * H * W)
+    taps = flat[:, gidx]                                  # (C, 4, P, N)
+    return jnp.einsum("ctpn,tpn->pcn", taps, ws)
+
+
 @partial(jax.jit, static_argnames=("out_size", "align_corners"))
 def resize_bilinear(img: jax.Array, out_size, align_corners: bool = False) -> jax.Array:
     """Bilinear image resize of (..., H, W) to out_size=(H2, W2).
