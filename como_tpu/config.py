@@ -30,7 +30,7 @@ class TermCriteria:
     delta_norm: float = 1e-3
     rel_tol: float = 1e-3
     grad_norm: float = 1.0
-    abs_tol: float = 1e-6
+    abs_tol: float = 1e-6  # absolute robust-cost floor (converged below it)
 
 
 @dataclass
@@ -47,7 +47,6 @@ class TrackingConfig:
     color: str = "gray"
     pyr: PyrConfig = field(default_factory=PyrConfig)
     term_criteria: TermCriteria = field(default_factory=TermCriteria)
-    photo_sigma: float = 1e-1
     use_motion_model: bool = False  # constant-velocity IC warm start
     keyframing: KeyframingConfig = field(default_factory=KeyframingConfig)
 
@@ -60,15 +59,23 @@ class GraphConfig:
 
 @dataclass
 class PhotoConstructionConfig:
+    """Covisibility-graph construction (reference photo_construction cfg).
+
+    radius/degrees > 0 enables radius keyframe edges + the one-way
+    nearest+radius attach mode (reference graph_pair_construction.py:
+    37-84, 136-152) and grows the static pair capacity accordingly.
+    The reference's pairwise_batch_size has no analog here: the whole
+    linearization is one fused program over all pairs, not 128-pair
+    chunks."""
     nonmax_suppression_window: int = 4
-    pairwise_batch_size: int = 128
     radius_thresh: float = 0.0
     degrees_thresh: float = 0.0
 
 
 @dataclass
 class SigmasConfig:
-    photo: float = 1e-1
+    # (no `photo` sigma: like the reference, the photometric sigma is the
+    # per-iteration MAD estimate — photo.py:124-128 — not a config value)
     mean_depth_prior: float = 1e-2
     scale_prior: float = 1e-4
     pose_prior: float = 1e-6
@@ -160,6 +167,21 @@ class ComoConfig:
             "img height must be divisible by pyramid decimation"
         assert self.img_size[1] % (2 ** (self.tracking.pyr.end_level - 1)) == 0
         assert self.mapping.color in ("gray", "rgb")
+        # TPU redesign decision: the reference's float64 mapping
+        # (config/como.yml:28) is deliberately f32 + damping here — TPU
+        # f64 is emulated and slow; tests/test_e2e_* validate the ATE
+        # budget holds in f32.
+        assert self.tracking.dtype == "float32", \
+            "tracking.dtype: only float32 is supported on TPU"
+        assert self.mapping.dtype == "float32", \
+            "mapping.dtype: the reference's float64 is redesigned as " \
+            "float32 + GN damping on TPU (see MappingConfig)"
+        assert self.mapping.corr.corr_mode in ("z", "logz", "3d")
+        assert self.mapping.sampling.mode in ("greedy_conditional_entropy",
+                                              "random_uniform")
+        pc = self.mapping.photo_construction
+        assert (pc.radius_thresh > 0.0) == (pc.degrees_thresh > 0.0), \
+            "radius mode needs BOTH radius_thresh and degrees_thresh > 0"
         return self
 
 

@@ -576,8 +576,9 @@ class SigmaStatic(NamedTuple):
     The *_mode fields select the reference's prior gating modes
     (factors/depth_prior.py:7-141, factors/pixel_prior.py:6-130):
     {first|all|first_plus_rest} x {mean|curr}; "curr" variants contribute
-    curvature only (residual/gradient zeroed)."""
-    photo: float = 1e-1
+    curvature only (residual/gradient zeroed).  There is no photometric
+    sigma: like the reference (photo.py:124-128), the photometric term is
+    whitened by the per-iteration MAD estimate."""
     mean_depth_prior: float = 1e-2
     scale_prior: float = 1e-4
     pose_prior: float = 1e-6

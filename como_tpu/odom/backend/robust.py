@@ -1,7 +1,6 @@
 """Robust IRLS weight functions (reference como/odom/backend/robust_loss.py:
-squared, Huber k=1.345, Tukey t=4.6851).  `get_weight_fn` selects by name
-so the photometric factors can be configured (the reference hard-wires
-Huber at its call sites)."""
+squared, Huber k=1.345, Tukey t=4.6851).  Like the reference, the
+photometric factors hard-wire Huber at their call sites."""
 
 from __future__ import annotations
 
@@ -25,7 +24,3 @@ def tukey(r: jax.Array, t: float = TUKEY_T) -> jax.Array:
     ra = jnp.abs(r)
     tmp = 1.0 - jnp.square(ra / t)
     return jnp.where(ra < t, tmp * tmp, 0.0)
-
-
-def get_weight_fn(name: str):
-    return {"squared": squared, "huber": huber, "tukey": tukey}[name]

@@ -55,10 +55,29 @@ def _reproject(pm_xy, z, Tji, K):
     return pj, zj
 
 
+def _corr_errors(z_a, z_b, pix_xy, K, mode: str):
+    """Correspondence error between two depth estimates at the same pixel
+    (reference get_correspondence_errors, corr.py:46-57): "z" absolute
+    depth difference, "logz" absolute log-depth difference, "3d" distance
+    between the two backprojected points (= |z_a - z_b| * |ray|)."""
+    if mode == "logz":
+        return jnp.abs(jnp.log(jnp.maximum(z_a, 1e-9))
+                       - jnp.log(jnp.maximum(z_b, 1e-9)))
+    if mode == "z":
+        return jnp.abs(z_a - z_b)
+    if mode == "3d":
+        rx = (pix_xy[..., 0] - K[0, 2]) / K[0, 0]
+        ry = (pix_xy[..., 1] - K[1, 2]) / K[1, 1]
+        ray_norm = jnp.sqrt(rx * rx + ry * ry + 1.0)
+        return jnp.abs(z_a - z_b) * ray_norm
+    raise ValueError(f"unknown corr_mode '{mode}'")
+
+
 @partial(jax.jit, static_argnames=("M", "cfg"))
 def track_and_init(pose1, pose2, pm1_xy, logzm1, depth_img1, cov_img2,
-                   K, scale, M: int, cfg) -> CorrResult:
-    """cfg: hashable CorrStatic (thresholds).  depth_img1 (H, W)."""
+                   K, scale, M: int, cfg, key=None) -> CorrResult:
+    """cfg: hashable CorrStatic (thresholds).  depth_img1 (H, W).
+    key: PRNG key, used only when cfg.sample_mode == "random_uniform"."""
     H, W = depth_img1.shape
     dtype = depth_img1.dtype
     Tji = lie.invert_se3(pose2) @ pose1
@@ -120,11 +139,10 @@ def track_and_init(pose1, pose2, pm1_xy, logzm1, depth_img1, cov_img2,
     z_m = jnp.exp(logz_m)
 
     # -- two-sided consistency + discontinuity filters -----------------------
-    err_j = jnp.abs(jnp.log(jnp.maximum(zj_m, 1e-9)) - logz_m)
+    err_j = _corr_errors(zj_m, z_m, pj_m, K, cfg.corr_mode)
     pi_m, zi_m = _reproject(pj_m, z_m, Tij, K)
     z_back = bilinear_sample(depth_img1[None], pi_m, padding="zeros")[0]
-    err_i = jnp.abs(jnp.log(jnp.maximum(z_back, 1e-9))
-                    - jnp.log(jnp.maximum(zi_m, 1e-9)))
+    err_i = _corr_errors(z_back, zi_m, pi_m, K, cfg.corr_mode)
     corr_err = jnp.maximum(err_i, err_j)
 
     logd = jnp.log(jnp.maximum(depth_img1, 1e-9))[None, None]
@@ -135,17 +153,25 @@ def track_and_init(pose1, pose2, pm1_xy, logzm1, depth_img1, cov_img2,
     cand = (mask_m & (corr_err < cfg.corr_thresh)
             & (gref < cfg.logz_grad_mag_thresh))
 
-    # -- greedy-entropy subsample of tracked candidates ----------------------
-    res_keep = sampler.greedy_entropy_sample(
-        coords_m_norm, e_m, cand,
-        jnp.zeros((M, 2), dtype), jnp.zeros((M, 3), dtype),
-        jnp.zeros((M,), bool), jnp.zeros((M,), dtype),
-        signal_var=scale, fixed_var=cfg.fixed_var,
-        max_stdev_thresh=cfg.max_stdev_thresh, dist_thresh=cfg.dist_thresh,
-        num_slots=M, terminate_early=True,
-    )
-    keep_idx = jnp.where(res_keep.is_new, res_keep.domain_inds, 0)
-    n_keep = jnp.sum(res_keep.is_new)
+    # -- subsample tracked candidates (sampling.mode dispatch; reference
+    # samplers.sample_sparse_coords:36-107) ----------------------------------
+    if cfg.sample_mode == "random_uniform":
+        k_keep, k_new = jax.random.split(
+            key if key is not None else jax.random.PRNGKey(0))
+        keep_idx, keep_valid = sampler.random_uniform_sample(k_keep, cand, M)
+        keep_idx = jnp.where(keep_valid, keep_idx, 0)
+        n_keep = jnp.sum(keep_valid)
+    else:
+        res_keep = sampler.greedy_entropy_sample(
+            coords_m_norm, e_m, cand,
+            jnp.zeros((M, 2), dtype), jnp.zeros((M, 3), dtype),
+            jnp.zeros((M,), bool), jnp.zeros((M,), dtype),
+            signal_var=scale, fixed_var=cfg.fixed_var,
+            max_stdev_thresh=cfg.max_stdev_thresh, dist_thresh=cfg.dist_thresh,
+            num_slots=M, terminate_early=True,
+        )
+        keep_idx = jnp.where(res_keep.is_new, res_keep.domain_inds, 0)
+        n_keep = jnp.sum(res_keep.is_new)
 
     # packed tracked prefix: slot s (< n_keep) <- candidate keep_idx[s]
     tracked_slot = jnp.arange(M) < n_keep
@@ -157,17 +183,26 @@ def track_and_init(pose1, pose2, pm1_xy, logzm1, depth_img1, cov_img2,
     # -- fill remaining slots with new anchors over the full image -----------
     dom_norm, e_dom, dom_valid, dom_rc = sampler.full_image_domain(
         cov_img2, border=cfg.border)
-    res_new = sampler.greedy_entropy_sample(
-        dom_norm, e_dom, dom_valid,
-        coords_tr_norm, e_tr, tracked_slot, jnp.zeros((M,), dtype),
-        signal_var=scale, fixed_var=cfg.fixed_var,
-        max_stdev_thresh=cfg.max_stdev_thresh, dist_thresh=cfg.dist_thresh,
-        num_slots=M, terminate_early=False,
-    )
-    new_slot = res_new.is_new                             # (M,)
-    coords_all_norm = jnp.where(tracked_slot[:, None], coords_tr_norm,
-                                res_new.coords_norm)
-    e_all = jnp.where(tracked_slot[:, None], e_tr, res_new.covs)
+    if cfg.sample_mode == "random_uniform":
+        new_idx, new_valid = sampler.random_uniform_sample(k_new, dom_valid, M)
+        new_domain_inds = jnp.where(new_valid, new_idx, 0)
+        new_slot = ~tracked_slot & new_valid
+        coords_all_norm = jnp.where(tracked_slot[:, None], coords_tr_norm,
+                                    dom_norm[new_domain_inds])
+        e_all = jnp.where(tracked_slot[:, None], e_tr, e_dom[new_domain_inds])
+    else:
+        res_new = sampler.greedy_entropy_sample(
+            dom_norm, e_dom, dom_valid,
+            coords_tr_norm, e_tr, tracked_slot, jnp.zeros((M,), dtype),
+            signal_var=scale, fixed_var=cfg.fixed_var,
+            max_stdev_thresh=cfg.max_stdev_thresh, dist_thresh=cfg.dist_thresh,
+            num_slots=M, terminate_early=False,
+        )
+        new_domain_inds = jnp.maximum(res_new.domain_inds, 0)
+        new_slot = res_new.is_new                         # (M,)
+        coords_all_norm = jnp.where(tracked_slot[:, None], coords_tr_norm,
+                                    res_new.coords_norm)
+        e_all = jnp.where(tracked_slot[:, None], e_tr, res_new.covs)
 
     # -- conditional distill for the new anchors -----------------------------
     K_mm2, K_nm2, _ = predictor.kernel_matrices(
@@ -197,7 +232,7 @@ def track_and_init(pose1, pose2, pm1_xy, logzm1, depth_img1, cov_img2,
     rc_all = jnp.where(
         tracked_slot[:, None],
         jnp.stack([pj_m[keep_idx][:, 1], pj_m[keep_idx][:, 0]], -1),
-        dom_rc[jnp.maximum(res_new.domain_inds, 0)],
+        dom_rc[new_domain_inds],
     )
     coords_all_xy = jnp.stack([rc_all[:, 1], rc_all[:, 0]], -1)
 
@@ -216,3 +251,8 @@ class CorrStatic(NamedTuple):
     dist_thresh: float = 1e-1
     fixed_var: float = 0.0
     sigma_median: float = 5e-2
+    # correspondence error metric: "z" | "logz" | "3d" (cfg.corr.corr_mode)
+    corr_mode: str = "logz"
+    # anchor sampler: "greedy_conditional_entropy" | "random_uniform"
+    # (cfg.sampling.mode)
+    sample_mode: str = "greedy_conditional_entropy"

@@ -53,7 +53,7 @@ def precalc_ic_jacobians(grads: jax.Array, P: jax.Array, K: jax.Array) -> jax.Ar
     return jnp.concatenate([dI_dxi, ab], axis=-1)
 
 
-def _level_solve(Tji, aff, lvl: TrackLevel, img_j, photo_sigma, term):
+def _level_solve(Tji, aff, lvl: TrackLevel, img_j, term):
     """One pyramid level: while_loop of IC iterations on device.
 
     img_j is (C, H, W); the reference rows are channel-major flattened
@@ -108,7 +108,8 @@ def _level_solve(Tji, aff, lvl: TrackLevel, img_j, photo_sigma, term):
         it2 = it + 1
         rel = jnp.abs((prev_err - mean_sq) / prev_err)
         done = ((it2 >= term["max_iter"]) | (dn < term["delta_norm"])
-                | (rel < term["rel_tol"]) | (gn < term["grad_norm"]))
+                | (rel < term["rel_tol"]) | (gn < term["grad_norm"])
+                | (mean_sq < term.get("abs_tol", 0.0)))
         return (Tji2, aff2, it2, mean_sq, done)
 
     init = (Tji, aff, jnp.int32(0), jnp.asarray(jnp.inf, dtype), jnp.asarray(False))
@@ -125,7 +126,7 @@ def track_pyramid(levels: Sequence[TrackLevel], img_pyr: Sequence[jax.Array],
     Tji, aff = Tji_init, aff_init
     iters = []
     for lvl, img in zip(levels, img_pyr):
-        Tji, aff, it = _level_solve(Tji, aff, lvl, img[0], None, dict(term))
+        Tji, aff, it = _level_solve(Tji, aff, lvl, img[0], dict(term))
         iters.append(it)
     return Tji, aff, jnp.stack(iters)
 
@@ -136,6 +137,7 @@ class TermStatic(NamedTuple):
     delta_norm: float
     rel_tol: float
     grad_norm: float
+    abs_tol: float = 0.0  # mean-squared-residual floor (0 = disabled)
 
     def keys(self):
         return self._fields

@@ -200,13 +200,14 @@ def _kf_ref_data_state(st, idx, hw):
 
 @partial(jax.jit, static_argnames=("M", "ccfg", "nms_window", "hw"))
 def _corr_and_prep(pose_last, pose_init, pm_last, logzm_last, Knm_full_last,
-                   rgb, cov_img, K, scale, M: int, ccfg, nms_window: int, hw):
+                   rgb, cov_img, K, scale, M: int, ccfg, nms_window: int, hw,
+                   key):
     """Fused keyframe-insertion compute: last-KF dense depth -> anchor
     correspondence/distill -> new-KF GP predictor prep, ONE program."""
     depth_last = jnp.exp(jnp.matmul(Knm_full_last, logzm_last[:, None],
                                     precision=HIGH)[:, 0]).reshape(hw)
     res = corr_mod.track_and_init(pose_last, pose_init, pm_last, logzm_last,
-                                  depth_last, cov_img, K, scale, M, ccfg)
+                                  depth_last, cov_img, K, scale, M, ccfg, key)
     prep = prep_keyframe(rgb, cov_img, res.coords_all, K, scale, nms_window)
     Pw_new = _anchors_world(pose_init, res.coords_all,
                             jnp.maximum(res.z_all, 1e-9), K)
@@ -243,11 +244,18 @@ def _anchors_world(pose, coords_xy, z, K):
 
 
 @partial(jax.jit, static_argnames=("M", "border", "dist_thresh", "stdev_thresh",
-                                   "fixed_var"))
+                                   "fixed_var", "mode"))
 def sample_initial_anchors(cov_img, scale, M: int, border: int,
                            dist_thresh: float, stdev_thresh: float,
-                           fixed_var: float):
+                           fixed_var: float,
+                           mode: str = "greedy_conditional_entropy", key=None):
+    """cfg.sampling.mode dispatch (reference samplers.sample_sparse_coords:
+    36-107): greedy conditional entropy or uniform-random anchors."""
     dom_norm, e_dom, dom_valid, dom_rc = sampler.full_image_domain(cov_img, border)
+    if mode == "random_uniform":
+        idx, _ = sampler.random_uniform_sample(
+            key if key is not None else jax.random.PRNGKey(0), dom_valid, M)
+        return dom_rc[idx]
     res = sampler.greedy_entropy_sample(
         dom_norm, e_dom, dom_valid,
         jnp.zeros((M, 2), dom_norm.dtype), jnp.zeros((M, 3), dom_norm.dtype),
@@ -268,11 +276,16 @@ class Mapping:
     # -- setup ----------------------------------------------------------------
     def setup(self):
         cfg = self.cfg
+        pc = cfg.photo_construction
+        self._radius_mode = pc.radius_thresh > 0.0 and pc.degrees_thresh > 0.0
         self.dims = win.make_dims(
             num_kf=cfg.graph.num_keyframes, num_ow=cfg.graph.num_one_way_frames,
             M=cfg.sampling.max_num_coords, img_size=self.img_size,
-            nms_window=cfg.photo_construction.nonmax_suppression_window)
-        self.state = win.empty_state(self.dims)
+            nms_window=pc.nonmax_suppression_window,
+            radius_pairs=self._radius_mode)
+        # f64 is rejected at config.validate (TPU f32 + damping redesign)
+        self.dtype = {"float32": jnp.float32}[cfg.dtype]
+        self.state = win.empty_state(self.dims, dtype=self.dtype)
         self.alloc = win.LandmarkAllocator(self.dims.L)
         self.anchor_lm_host = np.zeros((self.dims.K, self.dims.M), np.int32)
         self.kf_ts: List[float] = []
@@ -282,7 +295,7 @@ class Mapping:
         self.prior = DepthCovPrior(mode=cfg.prior, model_path=cfg.model_path)
         self.scale = self.prior.scale
         self.sigmas = SigmaStatic(
-            photo=cfg.sigmas.photo, mean_depth_prior=cfg.sigmas.mean_depth_prior,
+            mean_depth_prior=cfg.sigmas.mean_depth_prior,
             scale_prior=cfg.sigmas.scale_prior, pose_prior=cfg.sigmas.pose_prior,
             gp_prior=cfg.sigmas.gp_prior, log_depth_first=cfg.sigmas.log_depth_first,
             log_depth_all=cfg.sigmas.log_depth_all,
@@ -298,7 +311,8 @@ class Mapping:
             distill_with_prior=cfg.corr.distill_with_prior,
             max_stdev_thresh=cfg.sampling.max_stdev_thresh,
             border=cfg.sampling.border, dist_thresh=cfg.sampling.dist_thresh,
-            fixed_var=cfg.sampling.fixed_var, sigma_median=cfg.sigmas.distill_median)
+            fixed_var=cfg.sampling.fixed_var, sigma_median=cfg.sigmas.distill_median,
+            corr_mode=cfg.corr.corr_mode, sample_mode=cfg.sampling.mode)
         self.sfm_term = dict(max_iter=cfg.init.max_iter,
                              delta_norm=cfg.init.delta_norm,
                              rel_tol=cfg.init.rel_tol)
@@ -318,7 +332,8 @@ class Mapping:
             coords_m_rc = sample_initial_anchors(
                 cov_img, self.scale, self.dims.M, cfg.sampling.border,
                 cfg.sampling.dist_thresh, cfg.sampling.max_stdev_thresh,
-                cfg.sampling.fixed_var)
+                cfg.sampling.fixed_var, mode=cfg.sampling.mode,
+                key=jax.random.PRNGKey(0))
             ref = sfm_mod.setup_reference(
                 rgb, cov_img, coords_m_rc, self.K, self.scale,
                 cfg.init.start_level, cfg.init.end_level)
@@ -388,7 +403,8 @@ class Mapping:
             st.kf_pose[last], pose_init, st.pm[last], st.logzm[last],
             st.Knm_full[last], rgb, cov_img, self.K, self.scale, M,
             self.corr_cfg, cfg.photo_construction.nonmax_suppression_window,
-            self.img_size)
+            self.img_size,
+            jax.random.PRNGKey(len(self.kf_ts) + len(self.ow_ts)))
 
         tracked = np.array(res.tracked)
         src = np.array(res.src_anchor)
@@ -494,8 +510,24 @@ class Mapping:
 
     # -- GN iteration ---------------------------------------------------------
     def _rebuild_pairs(self):
+        kwargs = {}
+        if self._radius_mode and self.num_kf > 0:
+            # radius edges need current poses/medians on the host: one
+            # device sync per *insertion* (never per GN iteration), only
+            # when the radius mode is opted into.  Like the reference
+            # (which rebuilds pairs per iterate) the edges use the poses
+            # at rebuild time; unlike it we don't pay that cost per
+            # iteration — edges refresh at the next insertion.
+            pc = self.cfg.photo_construction
+            kwargs = dict(
+                poses=np.array(self.state.kf_pose[: self.num_kf]),
+                median_depths=np.array(self.state.median_depth[: self.num_kf]),
+                ow_poses=np.array(self.state.ow_pose[: self.num_ow])
+                if self.num_ow else None,
+                radius_thresh=pc.radius_thresh,
+                degrees_thresh=pc.degrees_thresh)
         pb = pairs_mod.build_pairs(self.num_kf, self.kf_ts, self.ow_ts,
-                                   self.dims.K, self.dims.P)
+                                   self.dims.K, self.dims.P, **kwargs)
         self._pairs = (jnp.array(pb.ref_kf), jnp.array(pb.target_slot),
                        jnp.array(pb.valid))
 
@@ -535,7 +567,8 @@ class Mapping:
             else:
                 self.damping = max(self.damping * 0.5, self.cfg.gn_damping)
             self._prev_err = err
-            if delta < term.delta_norm or rel < term.rel_tol:
+            if (delta < term.delta_norm or rel < term.rel_tol
+                    or err < term.abs_tol):
                 self.converged = True
                 return False
         return True

@@ -167,17 +167,20 @@ class Tracking:
 
     def setup(self):
         self.use_motion_model = getattr(self.cfg, "use_motion_model", False)
+        # f64 is rejected at config.validate (TPU f32 redesign)
+        self.dtype = {"float32": jnp.float32}[self.cfg.dtype]
         self.term = tk.TermStatic(
             max_iter=self.cfg.term_criteria.max_iter,
             delta_norm=self.cfg.term_criteria.delta_norm,
             rel_tol=self.cfg.term_criteria.rel_tol,
             grad_norm=self.cfg.term_criteria.grad_norm,
+            abs_tol=self.cfg.term_criteria.abs_tol,
         )
         self._reset_rel_vars()
 
     def _reset_rel_vars(self):
-        self.T_curr_kf = jnp.eye(4, dtype=jnp.float32)
-        self.aff_curr_kf = jnp.zeros((2,), jnp.float32)
+        self.T_curr_kf = jnp.eye(4, dtype=self.dtype)
+        self.aff_curr_kf = jnp.zeros((2,), self.dtype)
 
     # -- keyframe reference ------------------------------------------------
     def update_kf_reference(self, kf_data):

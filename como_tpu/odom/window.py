@@ -38,22 +38,24 @@ class WindowDims(NamedTuple):
     W: int
     ND: int         # dense photometric sites per KF (H*W/16 for nms=4)
     L: int          # landmark slots = K*M
+    P: int          # static photometric-pair capacity (pairs.max_pairs)
 
     @property
     def D(self) -> int:
         """Total GN system dimension: 8 per frame + 3 per landmark."""
         return 8 * self.K + 8 * self.O + 3 * self.L
 
-    @property
-    def P(self) -> int:
-        """Max photometric pairs: forward+backward KF chains + 2 per OW."""
-        return 2 * (self.K - 1) + 2 * self.O
 
-
-def make_dims(num_kf=9, num_ow=24, M=64, img_size=(192, 256), nms_window=4):
+def make_dims(num_kf=9, num_ow=24, M=64, img_size=(192, 256), nms_window=4,
+              radius_pairs=False):
+    """radius_pairs: size the pair capacity for radius covisibility edges +
+    one-way nearest+radius attachment (cfg.photo_construction thresholds
+    > 0) instead of the temporal-only default."""
+    from como_tpu.odom.backend.pairs import max_pairs
     H, W = img_size
     return WindowDims(K=num_kf, O=num_ow, M=M, H=H, W=W,
-                      ND=(H // nms_window) * (W // nms_window), L=num_kf * M)
+                      ND=(H // nms_window) * (W // nms_window), L=num_kf * M,
+                      P=max_pairs(num_kf, num_ow, radius_pairs))
 
 
 class WindowState(NamedTuple):

@@ -27,7 +27,7 @@ DIMS = make_dims(num_kf=4, num_ow=2, M=16, img_size=(48, 64))
 # neutralize all prior factors so the cost is photometric-only; the
 # occlusion gate only edits the stop-gradient valid set, so it is disabled
 # rather than replicated in the forward cost below
-SIG_OFF = gs.SigmaStatic(photo=1e-1, mean_depth_prior=1e8, scale_prior=1e8,
+SIG_OFF = gs.SigmaStatic(mean_depth_prior=1e8, scale_prior=1e8,
                          pose_prior=1e8, gp_prior=1e8, log_depth_first=1e8,
                          pixel_first=1e8, occlusion_thresh=0.0)
 

@@ -1,0 +1,174 @@
+"""Every config knob must have an effect.  These tests exercise the ones
+wired in round 2: radius covisibility + one-way nearest/radius attachment
+(reference graph_pair_construction.py:37-84,136-152), sampling.mode
+dispatch (reference samplers.py:36-107), corr_mode error metrics
+(reference corr.py:46-57), and the abs_tol termination floor."""
+
+import numpy as np
+import pytest
+
+from como_tpu.config import ComoConfig
+from como_tpu.data.synthetic import SyntheticDataset
+from como_tpu.runtime.seq import ComoSeq
+from como_tpu.utils.io import ate_rmse
+
+IMG = (48, 64)
+
+
+def small_config(**mapping_overrides):
+    cfg = ComoConfig()
+    cfg.img_size = list(IMG)
+    cfg.mapping.graph.num_keyframes = 4
+    cfg.mapping.graph.num_one_way_frames = 4
+    cfg.mapping.sampling.max_num_coords = 16
+    cfg.mapping.sampling.border = 2
+    cfg.mapping.init.max_iter = 30
+    cfg.tracking.term_criteria.max_iter = 30
+    for k, v in mapping_overrides.items():
+        obj = cfg.mapping
+        parts = k.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        setattr(obj, parts[-1], v)
+    return cfg.validate()
+
+
+def run_small(cfg, n_frames=25, scene="plane", step=0.012):
+    ds = SyntheticDataset(n_frames=n_frames, img_size=IMG, seed=0, step=step,
+                          scene=scene)
+    eng = ComoSeq(cfg, ds.intrinsics, IMG)
+    eng.setup()
+    ts, est = eng.run(ds)
+    idx = (np.asarray(ts) * 30.0).round().astype(int)
+    gt = np.array(ds.poses)[idx]
+    return eng, np.asarray(est), gt
+
+
+# ---------------------------------------------------------------------------
+# one-way nearest+radius attachment (unit)
+
+def test_ow_nearest_radius_attachments():
+    from como_tpu.odom.backend.pairs import ow_nearest_radius_attachments
+
+    kf = np.tile(np.eye(4), (3, 1, 1))
+    kf[1, :3, 3] = [0.3, 0, 0]
+    kf[2, :3, 3] = [5.0, 0, 0]          # far KF
+    ow = np.tile(np.eye(4), (2, 1, 1))
+    ow[0, :3, 3] = [0.05, 0, 0]          # near KFs 0 and 1
+    ow[1, :3, 3] = [5.1, 0, 0]           # near KF 2 only
+    med = np.ones(3)
+    pairs = ow_nearest_radius_attachments(kf, med, ow, radius_thresh=0.5,
+                                          degrees_thresh=30.0)
+    # nearest always included
+    assert (0, 0) in pairs and (2, 1) in pairs
+    # radius adds KF 1 for ow 0 (dist 0.25 < 0.5), not KF 2 (dist ~4.95)
+    assert (1, 0) in pairs and (2, 0) not in pairs
+    # no duplicates
+    assert len(pairs) == len(set(pairs))
+
+
+def test_max_pairs_capacity():
+    from como_tpu.odom.backend.pairs import build_pairs, max_pairs
+
+    K, O = 4, 4
+    assert max_pairs(K, O, False) == 2 * 3 + 8
+    assert max_pairs(K, O, True) == 2 * 3 + 3 * 2 + 16
+    # worst case actually fits: all KFs/OWs coincident -> every edge valid
+    poses = np.tile(np.eye(4), (K, 1, 1))
+    ow = np.tile(np.eye(4), (O, 1, 1))
+    pb = build_pairs(K, [0.0, 1.0, 2.0, 3.0], [0.5, 1.5, 2.5, 3.5], K,
+                     max_pairs(K, O, True), poses=poses,
+                     median_depths=np.ones(K), ow_poses=ow,
+                     radius_thresh=10.0, degrees_thresh=90.0)
+    assert int(pb.valid.sum()) <= max_pairs(K, O, True)
+
+
+# ---------------------------------------------------------------------------
+# radius mode end-to-end
+
+@pytest.mark.slow
+def test_radius_mode_e2e():
+    cfg = small_config(**{"photo_construction.radius_thresh": 0.6,
+                          "photo_construction.degrees_thresh": 45.0})
+    eng, est, gt = run_small(cfg)
+    assert np.all(np.isfinite(est))
+    ate = ate_rmse(est, gt, with_scale=True)
+    assert ate < 0.03, f"ATE {ate}"
+    # the static pair capacity grew for radius mode
+    from como_tpu.odom.backend.pairs import max_pairs
+    assert eng.mapping.dims.P == max_pairs(4, 4, True)
+    # one-way frames attached by pose, not temporal bracketing: with a
+    # tight orbit every OW attaches at least to its nearest KF
+    ref, tgt, valid = (np.array(a) for a in eng.mapping._pairs)
+    assert valid.sum() >= 2 * (eng.mapping.num_kf - 1) + eng.mapping.num_ow
+
+
+# ---------------------------------------------------------------------------
+# sampling.mode dispatch
+
+@pytest.mark.slow
+def test_random_uniform_sampling_e2e():
+    cfg = small_config(**{"sampling.mode": "random_uniform"})
+    eng, est, gt = run_small(cfg)
+    assert np.all(np.isfinite(est))
+    # random anchors are worse than greedy-entropy ones but must still
+    # converge on the easy world
+    ate = ate_rmse(est, gt, with_scale=True)
+    assert ate < 0.06, f"ATE {ate}"
+
+
+def test_sample_initial_anchors_modes_differ():
+    import jax
+    import jax.numpy as jnp
+    from como_tpu.data.synthetic import PlaneScene
+    from como_tpu.net.depthcov import DepthCovPrior
+    from como_tpu.odom.mapping import sample_initial_anchors
+
+    scene = PlaneScene(img_size=IMG, seed=0)
+    rgb, _ = scene.render(jnp.eye(4))
+    cov = DepthCovPrior(mode="analytic").cov_params(rgb)
+    rc_g = np.array(sample_initial_anchors(cov, 1.0, 16, 2, 1e-1, 1e-2, 0.0))
+    rc_r = np.array(sample_initial_anchors(cov, 1.0, 16, 2, 1e-1, 1e-2, 0.0,
+                                           mode="random_uniform",
+                                           key=jax.random.PRNGKey(3)))
+    assert rc_g.shape == rc_r.shape == (16, 2)
+    assert not np.allclose(rc_g, rc_r)
+    # border respected by both
+    for rc in (rc_g, rc_r):
+        assert rc[:, 0].min() >= 2 and rc[:, 0].max() < IMG[0] - 2
+        assert rc[:, 1].min() >= 2 and rc[:, 1].max() < IMG[1] - 2
+
+
+# ---------------------------------------------------------------------------
+# corr_mode metrics
+
+def test_corr_error_modes():
+    import jax.numpy as jnp
+    from como_tpu.odom.frontend.corr import _corr_errors
+
+    K = jnp.array([[50.0, 0.0, 32.0], [0.0, 50.0, 24.0], [0.0, 0.0, 1.0]])
+    z_a = jnp.array([2.0, 4.0])
+    z_b = jnp.array([2.2, 3.0])
+    pix = jnp.array([[32.0, 24.0], [42.0, 34.0]])  # first at principal point
+    e_z = np.array(_corr_errors(z_a, z_b, pix, K, "z"))
+    e_lz = np.array(_corr_errors(z_a, z_b, pix, K, "logz"))
+    e_3d = np.array(_corr_errors(z_a, z_b, pix, K, "3d"))
+    np.testing.assert_allclose(e_z, [0.2, 1.0], rtol=1e-6)
+    np.testing.assert_allclose(e_lz, np.abs(np.log([2.0 / 2.2, 4.0 / 3.0])),
+                               rtol=1e-6)
+    # at the principal point the ray norm is 1 -> 3d == z
+    np.testing.assert_allclose(e_3d[0], e_z[0], rtol=1e-6)
+    assert e_3d[1] > e_z[1]  # off-center ray is longer
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["z", "3d"])
+def test_corr_mode_e2e(mode):
+    cfg = small_config(**{"corr.corr_mode": mode})
+    if mode == "z":
+        # "z" thresholds absolute metres; scale up from the log threshold
+        cfg.mapping.corr.corr_thresh = 6e-2
+    eng, est, gt = run_small(cfg)
+    assert np.all(np.isfinite(est))
+    ate = ate_rmse(est, gt, with_scale=True)
+    assert ate < 0.03, f"ATE {ate}"
