@@ -51,6 +51,7 @@ class GNStats(NamedTuple):
     total_err: jax.Array
     photo_err: jax.Array
     delta_norm: jax.Array
+    grad_norm: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -165,7 +166,12 @@ def _dense_points(state: WindowState, sc, K_intr, dims: WindowDims):
 
 def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
            dims: WindowDims, axis_name=None, occl_thresh: float = 0.0):
-    K, O, M, ND = dims.K, dims.O, dims.M, dims.ND
+    """Pair linearization.  Channel-generalized (dims.C): gray mapping is
+    C=1; RGB mapping (reference Mapping.py:71-73,370-372, mapping.color:
+    rgb) is C=3 with per-channel residual rows sharing the per-site
+    geometry chain — image tensors carry a leading channel axis (P, C,
+    ND, ...), geometry tensors stay (P, ND, ...)."""
+    K, O, M, ND, C = dims.K, dims.O, dims.M, dims.ND, dims.C
     F = K + O
     H_img, W_img = dims.H, dims.W
     fx, fy = K_intr[0, 0], K_intr[1, 1]
@@ -173,14 +179,14 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
 
     pose_f = jnp.concatenate([state.kf_pose, state.ow_pose], 0)   # (F,4,4)
     aff_f = jnp.concatenate([state.kf_aff, state.ow_aff], 0)
-    img_f = jnp.concatenate([state.kf_img, state.ow_img], 0)
+    img_f = jnp.concatenate([state.kf_img, state.ow_img], 0)      # (F,3C,H,W)
     valid_f = jnp.concatenate([state.kf_valid, state.ow_valid], 0)
 
     i = pairs_ref                                       # (P,)
     j = pairs_tgt
     P = i.shape[0]
 
-    vals_i = state.dense_vals[i]                        # (P, ND)
+    vals_i = state.dense_vals[i]                        # (P, C, ND)
     Pw_n = dn["Pw_n"][i]
     Pc_i = dn["Pc_n"][i]
     u_i = dn["u"][i]
@@ -202,8 +208,8 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
     px = fx * Pcj[..., 0] / zj_safe + cx
     py = fy * Pcj[..., 1] / zj_safe + cy
 
-    samp = bilinear_sample_frames(img_f, j, jnp.stack([px, py], -1))  # (P,3,ND)
-    I_t, gx, gy = samp[:, 0], samp[:, 1], samp[:, 2]
+    samp = bilinear_sample_frames(img_f, j, jnp.stack([px, py], -1))  # (P,3C,ND)
+    I_t, gx, gy = samp[:, :C], samp[:, C: 2 * C], samp[:, 2 * C:]     # (P,C,ND)
 
     valid = ((px >= 1) & (px < W_img - 1) & (py >= 1) & (py < H_img - 1)
              & (zj > 0)
@@ -230,34 +236,41 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
         occluded = is_kf_tgt & (jnp.log(zj_safe) > lz_s + occl_thresh)
         valid = valid & ~occluded
 
-    ea = jnp.exp(aff_j[:, 0] - aff_i[:, 0])[:, None]
-    vals_scaled = ea * vals_i
-    r = I_t - vals_scaled + (aff_j[:, 1] - aff_i[:, 1])[:, None]
+    ea = jnp.exp(aff_j[:, 0] - aff_i[:, 0])[:, None, None]
+    vals_scaled = ea * vals_i                            # (P, C, ND)
+    r = I_t - vals_scaled + (aff_j[:, 1] - aff_i[:, 1])[:, None, None]
 
-    sigma = fast_mad_sigma(r, valid, axis_name=axis_name) + 1e-12
-    w = _huber_w(r / sigma) * valid / (sigma * sigma)
+    valid_c = valid[:, None, :]                          # (P, 1, ND)
+    sigma = fast_mad_sigma(r.reshape(P, C * ND),
+                           jnp.broadcast_to(valid_c, r.shape).reshape(P, C * ND),
+                           axis_name=axis_name) + 1e-12
+    w = _huber_w(r / sigma) * valid_c / (sigma * sigma)  # (P, C, ND)
     photo_err = jnp.sum(w * r * r)
 
     # image gradient chain: dIt/dPcj = [gx, gy] @ dp/dPcj with
     # dp/dPc = (1/z) [[fx, 0, -(px-cx)], [0, fy, -(py-cy)]]
-    a_img = jnp.stack([gx * fx, gy * fy], -1) / zj_safe[..., None]  # (P,ND,2)
+    zc = zj_safe[:, None, :]
+    a_img = jnp.stack([gx * fx, gy * fy], -1) / zc[..., None]  # (P,C,ND,2)
+    pxc = px[:, None, :]
+    pyc = py[:, None, :]
     dIt_dPcj = jnp.stack([
         a_img[..., 0],
         a_img[..., 1],
-        -(a_img[..., 0] * (px - cx) / fx + a_img[..., 1] * (py - cy) / fy),
-    ], -1)
+        -(a_img[..., 0] * (pxc - cx) / fx + a_img[..., 1] * (pyc - cy) / fy),
+    ], -1)                                               # (P, C, ND, 3)
 
-    dIt_dPwn = jnp.einsum("pnc,pci->pni", dIt_dPcj, Rcw_j, precision=HIGH)
-    s = jnp.einsum("pni,pni->pn", dIt_dPwn, u_i)        # anchor-chain scalar
+    dIt_dPwn = jnp.einsum("pcna,pai->pcni", dIt_dPcj, Rcw_j, precision=HIGH)
+    s = jnp.einsum("pcni,pni->pcn", dIt_dPwn, u_i)      # anchor-chain scalar
 
     # ref-pose Jacobian: direct + GP term
-    aR = jnp.einsum("pni,pij->pnj", dIt_dPwn, R_i, precision=HIGH)
-    rot_i = jnp.cross(Pc_i, aR)
-    J_ti = jnp.concatenate([rot_i, aR], -1) + s[..., None] * q_i   # (P, ND, 6)
+    aR = jnp.einsum("pcni,pij->pcnj", dIt_dPwn, R_i, precision=HIGH)
+    rot_i = jnp.cross(Pc_i[:, None], aR)
+    J_ti = (jnp.concatenate([rot_i, aR], -1)
+            + s[..., None] * q_i[:, None])               # (P, C, ND, 6)
 
     # target-pose Jacobian: [cross(Pwn, dIt_dPwn), dIt_dPwn] @ (-Adj_j)
-    pre = jnp.concatenate([jnp.cross(Pw_n, dIt_dPwn), dIt_dPwn], -1)
-    J_tj = -jnp.einsum("pnj,pjl->pnl", pre, Adj_j, precision=HIGH)
+    pre = jnp.concatenate([jnp.cross(Pw_n[:, None], dIt_dPwn), dIt_dPwn], -1)
+    J_tj = -jnp.einsum("pcnj,pjl->pcnl", pre, Adj_j, precision=HIGH)
 
     one = jnp.ones_like(vals_scaled)
     J8_i = jnp.concatenate([J_ti, vals_scaled[..., None], -one[..., None]], -1)
@@ -265,17 +278,22 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
 
     # --- accumulate block grids --------------------------------------------
     Jw_i = J8_i * w[..., None]
-    H_ii = jnp.einsum("pnk,pnl->pkl", Jw_i, J8_i, precision=HIGH)
-    H_jj = jnp.einsum("pnk,pnl->pkl", J8_j * w[..., None], J8_j, precision=HIGH)
-    H_ij = jnp.einsum("pnk,pnl->pkl", Jw_i, J8_j, precision=HIGH)
-    g_i = -jnp.einsum("pnk,pn->pk", J8_i, w * r, precision=HIGH)
-    g_j = -jnp.einsum("pnk,pn->pk", J8_j, w * r, precision=HIGH)
+    H_ii = jnp.einsum("pcnk,pcnl->pkl", Jw_i, J8_i, precision=HIGH)
+    H_jj = jnp.einsum("pcnk,pcnl->pkl", J8_j * w[..., None], J8_j,
+                      precision=HIGH)
+    H_ij = jnp.einsum("pcnk,pcnl->pkl", Jw_i, J8_j, precision=HIGH)
+    g_i = -jnp.einsum("pcnk,pcn->pk", J8_i, w * r, precision=HIGH)
+    g_j = -jnp.einsum("pcnk,pcn->pk", J8_j, w * r, precision=HIGH)
 
-    ws = w * s
-    Hzm_p = jnp.einsum("pnm,pn,pnl->pml", v_i, ws * s, v_i, precision=HIGH)
-    Hi_zm = jnp.einsum("pnk,pn,pnm->pkm", J8_i, ws, v_i, precision=HIGH)
-    Hj_zm = jnp.einsum("pnk,pn,pnm->pkm", J8_j, ws, v_i, precision=HIGH)
-    g_zm_p = -jnp.einsum("pn,pnm->pm", ws * r, v_i, precision=HIGH)
+    ws = w * s                                           # (P, C, ND)
+    # channel sums first: the anchor chain v_i is per-site, so channel
+    # contributions fold into per-site weights before the (ND, M) matmuls
+    wss_n = jnp.sum(ws * s, axis=1)                      # (P, ND)
+    wsr_n = jnp.sum(ws * r, axis=1)
+    Hzm_p = jnp.einsum("pnm,pn,pnl->pml", v_i, wss_n, v_i, precision=HIGH)
+    Hi_zm = jnp.einsum("pcnk,pcn,pnm->pkm", J8_i, ws, v_i, precision=HIGH)
+    Hj_zm = jnp.einsum("pcnk,pcn,pnm->pkm", J8_j, ws, v_i, precision=HIGH)
+    g_zm_p = -jnp.einsum("pn,pnm->pm", wsr_n, v_i, precision=HIGH)
 
     # scatter into grids (indices unique per add-call via sequential .add)
     HPP = jnp.zeros((F, F, 8, 8), r.dtype)
@@ -566,7 +584,8 @@ def _finish(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
                                                   state.median_depth))
 
     stats = GNStats(total_err=total_err, photo_err=photo_err,
-                    delta_norm=jnp.linalg.norm(delta))
+                    delta_norm=jnp.linalg.norm(delta),
+                    grad_norm=jnp.linalg.norm(gbig))
     return state, stats
 
 

@@ -31,18 +31,25 @@ from como_tpu.ops.coords import coord_grid_rc, normalize_coords
 HIGH = jax.lax.Precision.HIGHEST
 
 
-@partial(jax.jit, static_argnames=("nms_window",))
-def prep_keyframe(rgb, cov_img, coords_m_xy, K, scale, nms_window: int):
+@partial(jax.jit, static_argnames=("nms_window", "C"))
+def prep_keyframe(rgb, cov_img, coords_m_xy, K, scale, nms_window: int,
+                  C: int = 1):
     """Per-KF device arrays: img+grads, GP predictor, dense-site cache.
 
     (reference Mapping.get_img_and_grads + prep_predictor +
     sparse_map.subselect_pixels — the dense-site selection is cached per
     keyframe here since it is deterministic given the image.)
+
+    C=3 (mapping.color: rgb, reference Mapping.py:71-73) keeps all three
+    channels for the photometric term; dense-site NMS selection stays on
+    the gray gradient magnitude in both modes.
     """
     H, W = rgb.shape[-2:]
     dtype = rgb.dtype
     gray = img_ops.rgb_to_gray(rgb)
-    iag = img_ops.img_and_grads(gray)[0]                  # (3, H, W)
+    photo_img = gray if C == 1 else rgb
+    iag = img_ops.img_and_grads(photo_img)[0]             # (3C, H, W)
+    gray_iag = iag if C == 1 else img_ops.img_and_grads(gray)[0]
 
     rc_m = jnp.stack([coords_m_xy[:, 1], coords_m_xy[:, 0]], -1)
     m_norm = normalize_coords(rc_m, jnp.array([H, W], dtype))
@@ -62,7 +69,7 @@ def prep_keyframe(rgb, cov_img, coords_m_xy, K, scale, nms_window: int):
     colmean = jnp.mean(Knm_full, axis=0)
 
     # dense photometric sites: max-gradient pixel per nms_window^2 window
-    gmag2 = iag[1] ** 2 + iag[2] ** 2                     # (H, W)
+    gmag2 = gray_iag[1] ** 2 + gray_iag[2] ** 2           # (H, W)
     nw = nms_window
     g4 = gmag2.reshape(H // nw, nw, W // nw, nw).transpose(0, 2, 1, 3)
     g4 = g4.reshape(H // nw, W // nw, nw * nw)
@@ -73,7 +80,7 @@ def prep_keyframe(rgb, cov_img, coords_m_xy, K, scale, nms_window: int):
     cols = (jnp.arange(W // nw)[None, :] * nw + dc).reshape(-1)
     dense_rc = jnp.stack([rows, cols], -1).astype(dtype)  # (ND, 2)
     flat_idx = (rows * W + cols)
-    dense_vals = gray[0, 0].reshape(-1)[flat_idx]
+    dense_vals = photo_img[0].reshape(C, -1)[:, flat_idx]  # (C, ND)
     dense_knm = Knm_full[flat_idx]
 
     return dict(iag=iag, Kmm_inv=Kmm_inv, L_mm=L_mm, Knm_full=Knm_full,
@@ -198,17 +205,17 @@ def _kf_ref_data_state(st, idx, hw):
             depth[None, None])
 
 
-@partial(jax.jit, static_argnames=("M", "ccfg", "nms_window", "hw"))
+@partial(jax.jit, static_argnames=("M", "ccfg", "nms_window", "hw", "C"))
 def _corr_and_prep(pose_last, pose_init, pm_last, logzm_last, Knm_full_last,
                    rgb, cov_img, K, scale, M: int, ccfg, nms_window: int, hw,
-                   key):
+                   key, C: int = 1):
     """Fused keyframe-insertion compute: last-KF dense depth -> anchor
     correspondence/distill -> new-KF GP predictor prep, ONE program."""
     depth_last = jnp.exp(jnp.matmul(Knm_full_last, logzm_last[:, None],
                                     precision=HIGH)[:, 0]).reshape(hw)
     res = corr_mod.track_and_init(pose_last, pose_init, pm_last, logzm_last,
                                   depth_last, cov_img, K, scale, M, ccfg, key)
-    prep = prep_keyframe(rgb, cov_img, res.coords_all, K, scale, nms_window)
+    prep = prep_keyframe(rgb, cov_img, res.coords_all, K, scale, nms_window, C)
     Pw_new = _anchors_world(pose_init, res.coords_all,
                             jnp.maximum(res.z_all, 1e-9), K)
     return res, prep, Pw_new
@@ -222,9 +229,10 @@ def _compose_world(kf_pose_k, kf_aff_k, pose_rel, aff_rel):
     return lie.normalize_rotation(pose_w), aff_w
 
 
-@jax.jit
-def _prep_ow_img(rgb):
-    return img_ops.img_and_grads(img_ops.rgb_to_gray(rgb))[0]
+@partial(jax.jit, static_argnames=("C",))
+def _prep_ow_img(rgb, C: int = 1):
+    img = img_ops.rgb_to_gray(rgb) if C == 1 else rgb
+    return img_ops.img_and_grads(img)[0]
 
 
 @partial(jax.jit, static_argnames=("start", "end"))
@@ -277,12 +285,14 @@ class Mapping:
     def setup(self):
         cfg = self.cfg
         pc = cfg.photo_construction
-        self._radius_mode = pc.radius_thresh > 0.0 and pc.degrees_thresh > 0.0
+        rt, dt = pc.radius_thresh, pc.degrees_thresh  # no short-circuit:
+        self._radius_mode = (rt > 0.0) and (dt > 0.0)  # both always read
+        self.C = 3 if cfg.color == "rgb" else 1
         self.dims = win.make_dims(
             num_kf=cfg.graph.num_keyframes, num_ow=cfg.graph.num_one_way_frames,
             M=cfg.sampling.max_num_coords, img_size=self.img_size,
             nms_window=pc.nonmax_suppression_window,
-            radius_pairs=self._radius_mode)
+            radius_pairs=self._radius_mode, channels=self.C)
         # f64 is rejected at config.validate (TPU f32 + damping redesign)
         self.dtype = {"float32": jnp.float32}[cfg.dtype]
         self.state = win.empty_state(self.dims, dtype=self.dtype)
@@ -376,7 +386,8 @@ class Mapping:
         M = self.dims.M
         coords_xy = jnp.stack([coords_m_rc[:, 1], coords_m_rc[:, 0]], -1)
         prep = prep_keyframe(rgb, cov_img, coords_xy, self.K, self.scale,
-                             self.cfg.photo_construction.nonmax_suppression_window)
+                             self.cfg.photo_construction.nonmax_suppression_window,
+                             self.C)
         self.anchor_lm_host[0] = self.alloc.alloc(M)
         pose = jnp.eye(4)
         z = jnp.exp(logzm)
@@ -404,7 +415,7 @@ class Mapping:
             st.Knm_full[last], rgb, cov_img, self.K, self.scale, M,
             self.corr_cfg, cfg.photo_construction.nonmax_suppression_window,
             self.img_size,
-            jax.random.PRNGKey(len(self.kf_ts) + len(self.ow_ts)))
+            jax.random.PRNGKey(len(self.kf_ts) + len(self.ow_ts)), self.C)
 
         tracked = np.array(res.tracked)
         src = np.array(res.src_anchor)
@@ -459,7 +470,7 @@ class Mapping:
     # -- one-way frames ---------------------------------------------------------
     def add_one_way_frame(self, rgb, pose_init, aff_init, timestamp):
         O = self.dims.O
-        iag = _prep_ow_img(rgb)
+        iag = _prep_ow_img(rgb, self.C)
         roll_first = self.num_ow >= O
         if roll_first:
             self.ow_ts = self.ow_ts[1:]
@@ -568,7 +579,8 @@ class Mapping:
                 self.damping = max(self.damping * 0.5, self.cfg.gn_damping)
             self._prev_err = err
             if (delta < term.delta_norm or rel < term.rel_tol
-                    or err < term.abs_tol):
+                    or err < term.abs_tol
+                    or float(s.grad_norm) < term.grad_norm):
                 self.converged = True
                 return False
         return True

@@ -39,6 +39,7 @@ class WindowDims(NamedTuple):
     ND: int         # dense photometric sites per KF (H*W/16 for nms=4)
     L: int          # landmark slots = K*M
     P: int          # static photometric-pair capacity (pairs.max_pairs)
+    C: int = 1      # photometric channels (mapping.color: gray=1, rgb=3)
 
     @property
     def D(self) -> int:
@@ -47,15 +48,16 @@ class WindowDims(NamedTuple):
 
 
 def make_dims(num_kf=9, num_ow=24, M=64, img_size=(192, 256), nms_window=4,
-              radius_pairs=False):
+              radius_pairs=False, channels=1):
     """radius_pairs: size the pair capacity for radius covisibility edges +
     one-way nearest+radius attachment (cfg.photo_construction thresholds
-    > 0) instead of the temporal-only default."""
+    > 0) instead of the temporal-only default.  channels: photometric
+    channels for the mapping term (cfg.mapping.color)."""
     from como_tpu.odom.backend.pairs import max_pairs
     H, W = img_size
     return WindowDims(K=num_kf, O=num_ow, M=M, H=H, W=W,
                       ND=(H // nms_window) * (W // nms_window), L=num_kf * M,
-                      P=max_pairs(num_kf, num_ow, radius_pairs))
+                      P=max_pairs(num_kf, num_ow, radius_pairs), C=channels)
 
 
 class WindowState(NamedTuple):
@@ -63,7 +65,7 @@ class WindowState(NamedTuple):
     kf_pose: jax.Array      # (K, 4, 4) T_wc
     kf_aff: jax.Array       # (K, 2)
     kf_valid: jax.Array     # (K,) bool, packed prefix
-    kf_img: jax.Array       # (K, 3, H, W) gray + scharr gx, gy
+    kf_img: jax.Array       # (K, 3C, H, W) [I_c..., gx_c..., gy_c...]
     kf_rgb: jax.Array       # (K, 3, H, W) for viz / tracking reference
     cov_img: jax.Array      # (K, 3, H, W) packed GP covariance images
     # per-KF GP state
@@ -73,7 +75,7 @@ class WindowState(NamedTuple):
     knm_colmean: jax.Array  # (K, M) column means of Knm_full (scale prior)
     # cached dense photometric sites (recomputed per KF insertion)
     dense_rc: jax.Array     # (K, ND, 2) float row/col coords
-    dense_vals: jax.Array   # (K, ND) gray values at sites
+    dense_vals: jax.Array   # (K, C, ND) intensity values at sites
     dense_knm: jax.Array    # (K, ND, M) predictor rows at sites
     # anchors
     pm_first: jax.Array     # (K, M, 2) anchor pixel xy at first observation
@@ -89,7 +91,7 @@ class WindowState(NamedTuple):
     ow_pose: jax.Array      # (O, 4, 4)
     ow_aff: jax.Array       # (O, 2)
     ow_valid: jax.Array     # (O,) bool, packed prefix
-    ow_img: jax.Array       # (O, 3, H, W)
+    ow_img: jax.Array       # (O, 3C, H, W)
     # gauge anchors / priors
     pose_anchor: jax.Array        # (4, 4) prior on oldest KF pose
     aff_anchor: jax.Array         # (2,)
@@ -101,12 +103,13 @@ class WindowState(NamedTuple):
 
 def empty_state(dims: WindowDims, dtype=jnp.float32) -> WindowState:
     K, O, M, H, W, ND, L = dims.K, dims.O, dims.M, dims.H, dims.W, dims.ND, dims.L
+    C = dims.C
     eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (K, 4, 4))
     return WindowState(
         kf_pose=eye,
         kf_aff=jnp.zeros((K, 2), dtype),
         kf_valid=jnp.zeros((K,), bool),
-        kf_img=jnp.zeros((K, 3, H, W), dtype),
+        kf_img=jnp.zeros((K, 3 * C, H, W), dtype),
         kf_rgb=jnp.zeros((K, 3, H, W), dtype),
         cov_img=jnp.full((K, 3, H, W), 0.1, dtype),
         Kmm_inv=jnp.broadcast_to(jnp.eye(M, dtype=dtype), (K, M, M)),
@@ -114,7 +117,7 @@ def empty_state(dims: WindowDims, dtype=jnp.float32) -> WindowState:
         Knm_full=jnp.zeros((K, H * W, M), dtype),
         knm_colmean=jnp.zeros((K, M), dtype),
         dense_rc=jnp.zeros((K, ND, 2), dtype),
-        dense_vals=jnp.zeros((K, ND), dtype),
+        dense_vals=jnp.zeros((K, C, ND), dtype),
         dense_knm=jnp.zeros((K, ND, M), dtype),
         pm_first=jnp.zeros((K, M, 2), dtype),
         obs_ref=jnp.zeros((K, M), bool),
@@ -127,7 +130,7 @@ def empty_state(dims: WindowDims, dtype=jnp.float32) -> WindowState:
         ow_pose=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (O, 4, 4)),
         ow_aff=jnp.zeros((O, 2), dtype),
         ow_valid=jnp.zeros((O,), bool),
-        ow_img=jnp.zeros((O, 3, H, W), dtype),
+        ow_img=jnp.zeros((O, 3 * C, H, W), dtype),
         pose_anchor=jnp.eye(4, dtype=dtype),
         aff_anchor=jnp.zeros((2,), dtype),
         scale_anchor=jnp.zeros((), dtype),

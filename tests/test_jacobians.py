@@ -90,7 +90,9 @@ def photometric_cost(state, pairs, K_intr, xi_kf, aff_d, xi_ow, aff_ow_d, dP):
 
     aff_i, aff_j = kf_aff[pr], aff_f[pt]
     ea = jnp.exp(aff_j[:, 0] - aff_i[:, 0])[:, None]
-    r = I_t - ea * state.dense_vals[pr] + (aff_j[:, 1] - aff_i[:, 1])[:, None]
+    # dense_vals carries a channel axis (C=1 in this test)
+    r = I_t - ea * state.dense_vals[pr][:, 0] \
+        + (aff_j[:, 1] - aff_i[:, 1])[:, None]
     sigma = jax.lax.stop_gradient(fast_mad_sigma(r, valid) + 1e-12)
     return jnp.sum(huber_rho(r / sigma) * valid)
 

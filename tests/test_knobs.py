@@ -172,3 +172,32 @@ def test_corr_mode_e2e(mode):
     assert np.all(np.isfinite(est))
     ate = ate_rmse(est, gt, with_scale=True)
     assert ate < 0.03, f"ATE {ate}"
+
+
+# ---------------------------------------------------------------------------
+# RGB mapping photometric mode (reference Mapping.py:71-73,370-372)
+
+@pytest.mark.slow
+def test_rgb_mapping_e2e():
+    cfg = small_config(**{"color": "rgb"})
+    cfg.tracking.color = "rgb"      # both stages rgb, reference como.yml
+    cfg.validate()
+    eng, est, gt = run_small(cfg)
+    assert eng.mapping.dims.C == 3
+    assert eng.mapping.state.dense_vals.shape[1] == 3
+    assert np.all(np.isfinite(est))
+    ate = ate_rmse(est, gt, with_scale=True)
+    assert ate < 0.03, f"ATE {ate}"
+
+
+@pytest.mark.slow
+def test_rgb_mapping_matches_gray_on_grayscale_world():
+    """The synthetic worlds are grayscale (all channels equal), so the
+    C=3 path must agree with C=1 almost exactly — a correctness pin for
+    the channel-generalized linearization."""
+    eng_g, est_g, gt = run_small(small_config())
+    cfg = small_config(**{"color": "rgb"})
+    eng_c, est_c, _ = run_small(cfg)
+    n = min(len(est_g), len(est_c))
+    # identical math modulo 3x-duplicated rows => tiny numeric drift
+    np.testing.assert_allclose(est_c[:n, :3, 3], est_g[:n, :3, 3], atol=5e-4)
