@@ -94,6 +94,8 @@ class ComoSeq:
         self.log = EventLog()
 
     def setup(self):
+        self.log.emit("setup", name=self.cfg.name,
+                      img_size=list(self.cfg.img_size))
         with device_scope(self.track_dev):
             self.tracking.setup()
         with device_scope(self.map_dev):
