@@ -73,16 +73,19 @@ def main(argv=None):
 
     n = len(dataset) if args.max_frames is None else min(len(dataset),
                                                          args.max_frames)
+    from como_tpu.runtime.queues import monotonic_now, sleep_until
     t_start = time.perf_counter()
+    t_pace0 = monotonic_now()
     t0_ts = None
     for i in range(n):
         ts, rgb = dataset[i]
         ts = float(ts)
         if args.realtime and not dataset.is_live:
+            # absolute-deadline pacing (native clock_nanosleep when the
+            # C++ runtime lib is built): no per-frame drift accumulation,
+            # unlike relative time.sleep (reference ComoMp.py:97-110)
             t0_ts = ts if t0_ts is None else t0_ts
-            lag = (ts - t0_ts) - (time.perf_counter() - t_start)
-            if lag > 0:
-                time.sleep(lag)
+            sleep_until(t_pace0 + (ts - t0_ts))
         eng.step(ts, rgb)
     wall = time.perf_counter() - t_start
 

@@ -17,8 +17,12 @@ TPU redesign (vs the reference's host loop calling CUDA kernels):
       - pre-existing anchors occupy a packed prefix of the S slots and are
         consumed by the same rank-1 update path (uniform loop body),
       - early termination / distance NMS become masks, never shape changes,
-  * the per-step domain work (1xD kernel row + (S)x(S,D) matvec) is plain
-    XLA — it fuses into a handful of VPU loops.
+  * the per-step domain work (1xD kernel row + (S)x(S,D) matvec + var /
+    NMS downdates) is ONE fused Pallas kernel per iteration on TPU for
+    large domains (sampler_pallas.downdate_step — the analog of the
+    reference's obs_info_kernel, cov_gpu.cu:162-182); plain XLA
+    elsewhere.  Equality between the two paths is pinned by
+    tests/test_sampler.py.
 """
 
 from __future__ import annotations
@@ -70,12 +74,38 @@ def greedy_entropy_sample(
     dtype = domain_norm.dtype
     signal_var = jnp.asarray(signal_var, dtype)
 
+    # fused Pallas loop body for large domains on TPU (keyframe-insertion
+    # hot path: D = H*W ~ 49k); XLA for small domains / other backends
+    from como_tpu.gp import sampler_pallas as sp
+    tile = 2048
+    use_fused = (sp.pallas_available() and dtype == jnp.float32
+                 and D >= 2 * tile)
+    if use_fused:
+        Dp = ((D + tile - 1) // tile) * tile
+        pad = Dp - D
+        # padded sites: far-away decoupled unit covs, invalid
+        domain_norm = jnp.concatenate(
+            [domain_norm, jnp.full((pad, 2), -100.0, dtype)], 0)
+        e_pad = jnp.tile(jnp.array([1.0, 1.0, 0.0], dtype), (pad, 1))
+        e_domain = jnp.concatenate([e_domain, e_pad], 0)
+        domain_valid = jnp.concatenate(
+            [domain_valid, jnp.zeros((pad,), bool)], 0)
+        xnT = domain_norm.T.copy()                 # (2, Dp), once per call
+        enT = e_domain.T.copy()                    # (3, Dp)
+        D = Dp
+
     det_domain = e_domain[..., 0] * e_domain[..., 1] - e_domain[..., 2] ** 2
     dist_thresh_sq = dist_thresh * dist_thresh
     any_existing = jnp.any(curr_valid)
 
     init = dict(
         L=jnp.eye(S, dtype=dtype),
+        # L^-1, maintained incrementally alongside L: appending the row
+        # [l_ni, l_ii] to L appends [-(l_ni^T Linv)/l_ii, 1/l_ii] to Linv.
+        # This turns the per-iteration triangular solve (64 sequential
+        # steps, the loop's serial bottleneck on TPU) into two (S, S)
+        # matvecs.
+        Linv=jnp.eye(S, dtype=dtype),
         obs_info=jnp.zeros((S, D), dtype=dtype),
         var=jnp.full((D,), signal_var, dtype=dtype),
         min_dist_sq=jnp.full((D,), jnp.inf, dtype=dtype),
@@ -122,23 +152,36 @@ def greedy_entropy_sample(
         # (equivalent of the native get_new_chol_obs_info)
         k_ni = _pairwise_cross_row(x_i, e_i, st["sel_x"], st["sel_e"], signal_var)
         k_ni = k_ni * st["sel_valid"].astype(dtype)
-        l_ni = jax.scipy.linalg.solve_triangular(st["L"], k_ni[:, None], lower=True)[:, 0]
+        l_ni = jnp.matmul(st["Linv"], k_ni[:, None], precision=HIGH)[:, 0]
         l_ii = jnp.sqrt(jnp.maximum(k_ii - jnp.sum(jnp.square(l_ni)), 1e-12))
-        k_id = _pairwise_cross_row(x_i, e_i, domain_norm, e_domain, signal_var)
-        obs_new = (k_id - jnp.matmul(l_ni, st["obs_info"], precision=HIGH)) / l_ii
-        obs_new = obs_new * select_i
+        if use_fused:
+            obs_new, var, min_dist_sq = sp.downdate_step(
+                xnT, enT, st["obs_info"], st["var"], st["min_dist_sq"],
+                x_i, e_i, l_ni, l_ii, select_i, signal_var, tile=tile)
+        else:
+            k_id = _pairwise_cross_row(x_i, e_i, domain_norm, e_domain,
+                                       signal_var)
+            obs_new = (k_id - jnp.matmul(l_ni, st["obs_info"],
+                                         precision=HIGH)) / l_ii
+            obs_new = obs_new * select_i
+            var = st["var"] - jnp.square(obs_new)
+            d2 = jnp.sum(jnp.square(domain_norm - x_i[None]), axis=-1)
+            min_dist_sq = jnp.where(select_i,
+                                    jnp.minimum(st["min_dist_sq"], d2),
+                                    st["min_dist_sq"])
 
         sel = select_i.astype(dtype)
         L = st["L"].at[i, :].set(l_ni * sel)
         L = L.at[i, i].set(jnp.where(select_i, l_ii, 1.0))
+        linv_row = -jnp.matmul(l_ni[None, :], st["Linv"],
+                               precision=HIGH)[0] / l_ii
+        Linv = st["Linv"].at[i, :].set(linv_row * sel)
+        Linv = Linv.at[i, i].set(jnp.where(select_i, 1.0 / l_ii, 1.0))
         obs_info = st["obs_info"].at[i, :].set(obs_new)
-        var = st["var"] - jnp.square(obs_new)
-        d2 = jnp.sum(jnp.square(domain_norm - x_i[None]), axis=-1)
-        min_dist_sq = jnp.where(select_i, jnp.minimum(st["min_dist_sq"], d2),
-                                st["min_dist_sq"])
 
         return dict(
-            L=L, obs_info=obs_info, var=var, min_dist_sq=min_dist_sq,
+            L=L, Linv=Linv, obs_info=obs_info, var=var,
+            min_dist_sq=min_dist_sq,
             sel_x=st["sel_x"].at[i].set(x_i * sel),
             sel_e=st["sel_e"].at[i].set(e_i * sel),
             sel_ind=st["sel_ind"].at[i].set(ind_i),

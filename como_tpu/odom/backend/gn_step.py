@@ -80,11 +80,15 @@ def _scaffold(state: WindowState, K_intr, dims: WindowDims,
     init_Pc = jnp.stack([rx * med, ry * med, jnp.broadcast_to(med, rx.shape)], -1)
     init_Pw_km = jnp.einsum("kij,kmj->kmi", pose[:, :3, :3], init_Pc,
                             precision=HIGH) + pose[:, None, :3, 3]
-    # scatter per-landmark init values from first-obs anchors
+    # accumulate per-landmark init values from first-obs anchors.  One-hot
+    # selection matmul, not scatter-add: TPU serializes duplicate-index
+    # scatters (measured ~1.5 ms of the 2 ms scaffold at full size).
     w_first = (state.obs_ref & state.kf_valid[:, None]).astype(Pw.dtype)
-    init_lm = jnp.zeros_like(state.P_lm)
-    init_lm = init_lm.at[state.anchor_lm.reshape(-1)].add(
-        (init_Pw_km * w_first[..., None]).reshape(-1, 3), mode="drop")
+    sel_lm = jax.nn.one_hot(state.anchor_lm.reshape(-1), state.P_lm.shape[0],
+                            dtype=Pw.dtype)                  # (K*M, L)
+    init_lm = jnp.einsum("al,ac->lc", sel_lm,
+                         (init_Pw_km * w_first[..., None]).reshape(-1, 3),
+                         precision=HIGH)
     init_Pc_km = jnp.einsum("kij,kmj->kmi", Rcw, init_lm[state.anchor_lm],
                             precision=HIGH) + tcw[:, None]
 
@@ -124,10 +128,10 @@ def _scaffold(state: WindowState, K_intr, dims: WindowDims,
                         jnp.broadcast_to(Rcw, (K, 3, 3)), precision=HIGH)
 
     # landmark reinit (state update): reinit where behind first-obs camera
-    reinit_lm_w = jnp.zeros((state.P_lm.shape[0],), Pw.dtype).at[
-        state.anchor_lm.reshape(-1)].add(
-        (z_bad & state.obs_ref & state.kf_valid[:, None]).astype(Pw.dtype).reshape(-1),
-        mode="drop")
+    reinit_lm_w = jnp.einsum(
+        "al,a->l", sel_lm,
+        (z_bad & state.obs_ref & state.kf_valid[:, None])
+        .astype(Pw.dtype).reshape(-1), precision=HIGH)
     P_lm_new = jnp.where((reinit_lm_w > 0)[:, None], init_lm, state.P_lm)
 
     return dict(Pc=Pc, z=z, logzm=logzm, pm=pm, dz_dPw=dz_dPw, dz_dTwc=dz_dTwc,
@@ -158,7 +162,7 @@ def _dense_points(state: WindowState, sc, K_intr, dims: WindowDims):
     # (the reference also computes a per-KF median of this dense depth for
     # its radius-based pair construction — disabled by default; we compute
     # medians on the dense sites only when actually needed)
-    return dict(Pw_n=Pw_n, Pc_n=Pc_n, u=u, q=q, v=v, z_n=z_n)
+    return dict(Pw_n=Pw_n, Pc_n=Pc_n, u=u, q=q, v=v, z_n=z_n, logzn=logzn)
 
 
 # ---------------------------------------------------------------------------
@@ -223,9 +227,11 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
         # keyframe's own GP surface is occluded there — its residual would
         # compare the ref surface against whatever nearer surface covers
         # that pixel.  Only KF targets carry a depth model; one-way frames
-        # are left ungated.  Nearest-neighbor gather: a threshold test
-        # needs no subpixel interpolation, and one gather is ~8 ms cheaper
-        # than a bilinear sample at full problem size.
+        # are left ungated.  Nearest-neighbor lookup of the exact
+        # full-image GP surface: a coarser dense-site lookup was measured
+        # ~2 ms cheaper but lets the gate set flicker across iterations
+        # near silhouettes (intra-window depth variation), visibly
+        # weakening the GN fixed point — exactness wins here.
         logz_tgt = jnp.einsum("khm,km->kh", state.Knm_full, sc["logzm"],
                               precision=HIGH)               # (K, H*W)
         px_i = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W_img - 1)

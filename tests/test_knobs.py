@@ -201,3 +201,37 @@ def test_rgb_mapping_matches_gray_on_grayscale_world():
     n = min(len(est_g), len(est_c))
     # identical math modulo 3x-duplicated rows => tiny numeric drift
     np.testing.assert_allclose(est_c[:n, :3, 3], est_g[:n, :3, 3], atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Levenberg-Marquardt damping adaptation (gn_damping; beyond-reference)
+
+def test_lm_damping_adaptation_fires():
+    """The adaptive damping must actually move in both directions: up
+    when the robust cost increased, back toward the configured floor
+    when it decreases (mapping.should_iterate)."""
+    import jax.numpy as jnp
+    from como_tpu.odom.backend.gn_step import GNStats
+    from como_tpu.odom.mapping import Mapping
+
+    cfg = small_config().mapping
+    m = Mapping(cfg, np.eye(3, dtype=np.float32), IMG)
+    m.setup()
+    m.is_init = True
+
+    def stats(err):
+        return GNStats(total_err=jnp.float32(err), photo_err=jnp.float32(err),
+                       delta_norm=jnp.float32(1.0), grad_norm=jnp.float32(1e9))
+
+    # cost went UP -> damping multiplies (checked every 4th iteration)
+    m.iter_count, m._prev_err, m._last_stats = 4, 1.0, stats(100.0)
+    d0 = m.damping
+    assert m.should_iterate()
+    assert m.damping == pytest.approx(5.0 * d0)
+
+    # cost keeps going DOWN -> damping decays back to the configured floor
+    for k in range(6):
+        m.iter_count = 4 * (k + 2)
+        m._last_stats = stats(50.0 / (k + 1))
+        m.should_iterate()
+    assert m.damping == pytest.approx(cfg.gn_damping)

@@ -1,7 +1,9 @@
 """Greedy conditional-entropy sampler: validated against a brute-force
 reference implementation (full Cholesky recompute every step)."""
 
+import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from como_tpu.gp import kernels, sampler
@@ -116,3 +118,45 @@ def test_pack_prefix():
     pc, pm = sampler.pack_prefix(coords, mask)
     np.testing.assert_array_equal(np.array(pm), [True, True, False, False, False])
     np.testing.assert_allclose(np.array(pc[:2]), [[2, 3], [6, 7]])
+
+
+def test_fused_downdate_matches_xla(monkeypatch):
+    """The Pallas-fused loop body (sampler_pallas.downdate_step) must
+    reproduce the XLA path: same selected sites, same factor/obs state
+    (interpret mode; on-TPU equality is exercised by the insertion path)."""
+    import jax.experimental.pallas.tpu as pltpu
+
+    from como_tpu.gp import sampler, sampler_pallas
+
+    if not sampler_pallas._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+
+    rng = np.random.default_rng(5)
+    D, S = 4096, 8
+    dom = jnp.array(rng.uniform(-1, 1, (D, 2)), jnp.float32)
+    e00 = rng.uniform(0.5, 2.0, D)
+    e11 = rng.uniform(0.5, 2.0, D)
+    e01 = rng.uniform(-0.3, 0.3, D) * np.sqrt(e00 * e11)
+    e = jnp.array(np.stack([e00, e11, e01], -1), jnp.float32)
+    valid = jnp.array(rng.uniform(size=D) > 0.1)
+    zeros = (jnp.zeros((S, 2), jnp.float32), jnp.zeros((S, 3), jnp.float32),
+             jnp.zeros((S,), bool), jnp.zeros((S,), jnp.float32))
+
+    def run():
+        return sampler.greedy_entropy_sample(
+            dom, e, valid, *zeros, signal_var=1.0, fixed_var=0.0,
+            max_stdev_thresh=1e-3, dist_thresh=5e-2, num_slots=S,
+            terminate_early=False)
+
+    res_xla = run()
+
+    monkeypatch.setattr(sampler_pallas, "pallas_available", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        res_fused = jax.jit(run)()  # fresh trace under the patched gate
+
+    np.testing.assert_array_equal(np.array(res_xla.domain_inds),
+                                  np.array(res_fused.domain_inds))
+    np.testing.assert_allclose(np.array(res_xla.coords_norm),
+                               np.array(res_fused.coords_norm), atol=1e-6)
+    np.testing.assert_allclose(np.array(res_xla.covs),
+                               np.array(res_fused.covs), atol=1e-6)
