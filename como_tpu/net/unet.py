@@ -83,11 +83,10 @@ class UNet(nn.Module):
                         dtype=self.compute_dtype)(y)
             y = jnp.concatenate([y, enc[i]], axis=-1)
             y = ResidualConv(cc // 2, self.compute_dtype, name=f"up{i}_block")(y)
-            if i < self.num_levels - 1:
-                f = nn.Conv(self.out_channels, (1, 1), name=f"head{i}",
-                            dtype=jnp.float32)(y.astype(jnp.float32))
-                outs.append(cov_activation(f))
-        return outs  # coarse -> fine, finest last? see note below
+            f = nn.Conv(self.out_channels, (1, 1), name=f"head{i}",
+                        dtype=jnp.float32)(y.astype(jnp.float32))
+            outs.append(cov_activation(f))
+        return outs  # coarse -> fine; outs[-1] is the finest (full-res) level
 
 
 def init_unet(key, img_size=(192, 256)):

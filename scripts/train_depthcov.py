@@ -6,8 +6,19 @@ script provides the missing capability.  Objective: for random sparse
 anchor sets, the GP conditional mean of dense log-depth (through the
 predicted per-pixel kernels) must regress the true log-depth — i.e. the
 network learns covariances under which sparse-to-dense depth
-extrapolation works.  Trains on the synthetic scene generator out of the
-box (--data synthetic) or on any TUM-format RGB-D folder.
+extrapolation works (reference DepthCovModule.py:80-87 is the inference
+contract this trains for).
+
+Data sources:
+  * --data synthetic      procedural scenes (PlaneScene + ClutterScene mix;
+                          the clutter world has occlusions and depth
+                          discontinuities, which is what anisotropic
+                          covariances are for)
+  * --data rgbd --dataset_dir <dir>
+                          any RGB-D folder: TUM format (rgb.txt +
+                          depth.txt, nearest-timestamp association,
+                          16-bit depth / 5000) or ScanNet-style
+                          (color/*.jpg + depth/*.png in millimetres)
 
     python scripts/train_depthcov.py --data synthetic --steps 2000 \
         --out models/depthcov.msgpack
@@ -35,21 +46,98 @@ _SCENES = {}
 
 def synthetic_batch(key, img_size=(96, 128), pool: int = 8):
     """Random view of a pooled synthetic scene (pooling keeps the jitted
-    renderer cache bounded: PlaneScene.render is jitted per instance)."""
-    from como_tpu.data.synthetic import PlaneScene
+    renderer cache bounded: <scene>.render is jitted per instance).
+    Alternates between the plane and the clutter world; clutter views
+    carry the depth discontinuities the kernels must learn to respect."""
+    from como_tpu.data.synthetic import ClutterScene, PlaneScene
     from como_tpu.geometry import lie
 
     seed = int(jax.random.randint(key, (), 0, 1 << 20))
     sid = seed % pool
+    cls = PlaneScene if sid % 2 == 0 else ClutterScene
     if (img_size, sid) not in _SCENES:
-        _SCENES[(img_size, sid)] = PlaneScene(img_size=img_size, seed=sid)
-    scene = _SCENES[(img_size, sid)]
-    xi = 0.1 * np.random.default_rng(seed).normal(size=6)
-    rgb, depth = scene.render(lie.se3_exp(jnp.array(xi, jnp.float32)))
+        scene = cls(img_size=img_size, seed=sid)
+        views = np.array(scene.trajectory(48, step=0.04, seed=sid + 1))
+        _SCENES[(img_size, sid)] = (scene, views)
+    scene, views = _SCENES[(img_size, sid)]
+    rng = np.random.default_rng(seed)
+    base = views[rng.integers(len(views))]
+    xi = 0.03 * rng.normal(size=6)
+    pose = jnp.array(base) @ lie.se3_exp(jnp.array(xi, jnp.float32))
+    rgb, depth = scene.render(pose)
     return rgb, depth
 
 
-def make_loss(model, M=32, n_test=512):
+class RgbdFolder:
+    """RGB-D pair loader for TUM-format and ScanNet-style folders.
+
+    TUM: rgb.txt / depth.txt ("ts path" lines, # comments), depth PNG
+    16-bit with scale 5000, pairs associated by nearest timestamp
+    (<= max_dt).  ScanNet-style: color/*.jpg + depth/*.png (millimetres),
+    frame index association.
+    """
+
+    def __init__(self, root: str, img_size, depth_scale: float | None = None,
+                 max_dt: float = 0.03):
+        import cv2
+        self.cv2 = cv2
+        self.img_size = tuple(img_size)
+        self.pairs = []  # (rgb_path, depth_path)
+        if os.path.exists(os.path.join(root, "rgb.txt")):
+            self.depth_scale = depth_scale or 5000.0
+            rgb = self._read_list(os.path.join(root, "rgb.txt"))
+            dep = self._read_list(os.path.join(root, "depth.txt"))
+            dts = np.array([t for t, _ in dep])
+            for t, rp in rgb:
+                k = int(np.argmin(np.abs(dts - t)))
+                if abs(dts[k] - t) <= max_dt:
+                    self.pairs.append((os.path.join(root, rp),
+                                       os.path.join(root, dep[k][1])))
+        elif os.path.isdir(os.path.join(root, "color")):
+            self.depth_scale = depth_scale or 1000.0
+            import re
+            num = lambda p: int(re.findall(r"\d+", os.path.basename(p))[0])
+            rgbs = {num(f): os.path.join(root, "color", f)
+                    for f in os.listdir(os.path.join(root, "color"))
+                    if f.endswith((".jpg", ".png"))}
+            deps = {num(f): os.path.join(root, "depth", f)
+                    for f in os.listdir(os.path.join(root, "depth"))
+                    if f.endswith(".png")}
+            for i in sorted(rgbs.keys() & deps.keys()):
+                self.pairs.append((rgbs[i], deps[i]))
+        if not self.pairs:
+            raise FileNotFoundError(
+                f"no RGB-D pairs under {root} (need TUM rgb.txt/depth.txt "
+                "or ScanNet-style color/ + depth/)")
+
+    @staticmethod
+    def _read_list(path):
+        out = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                ts, rel = line.split()[:2]
+                out.append((float(ts), rel))
+        return out
+
+    def sample(self, rng: np.random.Generator):
+        cv2 = self.cv2
+        h, w = self.img_size
+        rp, dp = self.pairs[rng.integers(len(self.pairs))]
+        bgr = cv2.imread(rp)
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        rgb = cv2.resize(rgb, (w, h), interpolation=cv2.INTER_LINEAR)
+        d16 = cv2.imread(dp, cv2.IMREAD_UNCHANGED).astype(np.float32)
+        depth = d16 / self.depth_scale
+        # nearest-neighbor resize: bilinear would blur across depth edges
+        depth = cv2.resize(depth, (w, h), interpolation=cv2.INTER_NEAREST)
+        rgb_j = jnp.array(rgb.astype(np.float32).transpose(2, 0, 1)[None] / 255.0)
+        return rgb_j, jnp.array(depth[None, None])
+
+
+def make_loss(model, M=64, n_test=1024):
     def loss_fn(params, rgb, depth, key):
         H, W = rgb.shape[-2:]
         x = jnp.transpose(rgb, (0, 2, 3, 1))
@@ -58,7 +146,8 @@ def make_loss(model, M=32, n_test=512):
         ch, cw = cov.shape[-2:]
 
         k1, k2 = jax.random.split(key)
-        logz = jnp.log(jnp.maximum(depth[0, 0], 1e-6))
+        valid = depth[0, 0] > 1e-3  # RGB-D sensors emit 0 where invalid
+        logz = jnp.log(jnp.where(valid, depth[0, 0], 1.0))
         # random anchors + random test sites (in network resolution)
         rc_m = jax.random.uniform(k1, (M, 2)) * jnp.array([ch - 1, cw - 1])
         rc_n = jax.random.uniform(k2, (n_test, 2)) * jnp.array([ch - 1, cw - 1])
@@ -73,17 +162,24 @@ def make_loss(model, M=32, n_test=512):
         # gt log-depth at anchor/test sites (bilinear, full-res -> net-res map)
         from como_tpu.ops.interp import bilinear_sample
         scale_rc = jnp.array([(H - 1) / (ch - 1), (W - 1) / (cw - 1)])
-        def sample_logz(rc):
+        def sample_rc(img, rc):
             xy = jnp.stack([rc[:, 1] * scale_rc[1], rc[:, 0] * scale_rc[0]], -1)
-            return bilinear_sample(logz[None], xy, "border")[0]
-        lz_m = sample_logz(rc_m)
-        lz_n = sample_logz(rc_n)
+            return bilinear_sample(img[None], xy, "border")[0]
+        lz_m = sample_rc(logz, rc_m)
+        lz_n = sample_rc(logz, rc_n)
+        vmask_n = sample_rc(valid.astype(jnp.float32), rc_n) > 0.999
+        vmask_m = sample_rc(valid.astype(jnp.float32), rc_m) > 0.999
+        # invalid anchors contribute y=0 through a masked weighting below
+        wn = vmask_n.astype(jnp.float32)
+        lz_m = jnp.where(vmask_m, lz_m, jnp.sum(lz_m * vmask_m) /
+                         jnp.maximum(jnp.sum(vmask_m), 1.0))
 
         pred_n = pred.Knm_Kmminv @ lz_m
-        mse = jnp.mean(jnp.square(pred_n - lz_n))
+        denom = jnp.maximum(jnp.sum(wn), 1.0)
+        mse = jnp.sum(wn * jnp.square(pred_n - lz_n)) / denom
         # variance calibration: posterior var should track squared error
         var = jnp.maximum(K_nn - jnp.sum(K_nm * pred.Knm_Kmminv, -1), 1e-6)
-        nll = jnp.mean(jnp.square(pred_n - lz_n) / var + jnp.log(var))
+        nll = jnp.sum(wn * (jnp.square(pred_n - lz_n) / var + jnp.log(var))) / denom
         return mse + 0.1 * nll
 
     return loss_fn
@@ -91,18 +187,31 @@ def make_loss(model, M=32, n_test=512):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--data", default="synthetic")
+    p.add_argument("--data", default="synthetic", choices=["synthetic", "rgbd"])
     p.add_argument("--dataset_dir", default=None)
+    p.add_argument("--depth_scale", type=float, default=None)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--img", type=int, nargs=2, default=[96, 128])
+    p.add_argument("--seed", type=int, default=1)
     p.add_argument("--out", default="models/depthcov.msgpack")
     args = p.parse_args()
 
     model, params = unet_mod.init_unet(jax.random.PRNGKey(0), tuple(args.img))
     loss_fn = make_loss(model)
-    tx = optax.adam(args.lr)
+    # clip + cosine decay: the GP-conditioning loss has occasional huge
+    # gradients (near-singular K_mm draws); unclipped adam at constant LR
+    # diverges into degenerate narrow kernels
+    sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.03)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = tx.init(params)
+
+    folder = None
+    if args.data == "rgbd":
+        assert args.dataset_dir, "--data rgbd needs --dataset_dir"
+        folder = RgbdFolder(args.dataset_dir, tuple(args.img),
+                            depth_scale=args.depth_scale)
+        print(f"rgbd folder: {len(folder.pairs)} associated pairs")
 
     @jax.jit
     def train_step(params, opt_state, rgb, depth, key):
@@ -110,16 +219,17 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(args.seed)
+    host_rng = np.random.default_rng(args.seed)
     for step in range(args.steps):
         key, k1, k2 = jax.random.split(key, 3)
         if args.data == "synthetic":
             rgb, depth = synthetic_batch(k1, tuple(args.img))
         else:
-            raise NotImplementedError("RGB-D folder training: TODO round 2")
+            rgb, depth = folder.sample(host_rng)
         params, opt_state, loss = train_step(params, opt_state, rgb, depth, k2)
         if step % 50 == 0:
-            print(f"step {step}: loss {float(loss):.4f}")
+            print(f"step {step}: loss {float(loss):.4f}", flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     save_params(params, args.out)

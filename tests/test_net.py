@@ -32,10 +32,12 @@ def test_cov_activation_bounds():
 def test_unet_forward_shapes():
     model, params = unet_mod.init_unet(jax.random.PRNGKey(0), (64, 96))
     outs = model.apply(params, jnp.zeros((1, 64, 96, 3)))
-    # 4 feature levels (num_levels - 1), finest last at full resolution
-    assert len(outs) == 4
+    # one covariance head per decoder level (reference: 5 levels,
+    # DepthCovModule.py out_feature_channels per level), finest last at
+    # full resolution
+    assert len(outs) == 5
     assert outs[-1].shape == (1, 64, 96, 3)
-    assert outs[0].shape == (1, 8, 12, 3)
+    assert outs[0].shape == (1, 4, 6, 3)
     fin = np.array(outs[-1])
     det = fin[..., 0] * fin[..., 1] - fin[..., 2] ** 2
     assert det.min() > 0
