@@ -386,8 +386,7 @@ class Mapping:
         M = self.dims.M
         coords_xy = jnp.stack([coords_m_rc[:, 1], coords_m_rc[:, 0]], -1)
         prep = prep_keyframe(rgb, cov_img, coords_xy, self.K, self.scale,
-                             self.cfg.photo_construction.nonmax_suppression_window,
-                             self.C)
+                             self.dims.NW, self.C)
         self.anchor_lm_host[0] = self.alloc.alloc(M)
         pose = jnp.eye(4)
         z = jnp.exp(logzm)
@@ -413,8 +412,7 @@ class Mapping:
         res, prep, Pw_new = _corr_and_prep(
             st.kf_pose[last], pose_init, st.pm[last], st.logzm[last],
             st.Knm_full[last], rgb, cov_img, self.K, self.scale, M,
-            self.corr_cfg, cfg.photo_construction.nonmax_suppression_window,
-            self.img_size,
+            self.corr_cfg, self.dims.NW, self.img_size,
             jax.random.PRNGKey(len(self.kf_ts) + len(self.ow_ts)), self.C)
 
         tracked = np.array(res.tracked)

@@ -40,6 +40,7 @@ class WindowDims(NamedTuple):
     L: int          # landmark slots = K*M
     P: int          # static photometric-pair capacity (pairs.max_pairs)
     C: int = 1      # photometric channels (mapping.color: gray=1, rgb=3)
+    NW: int = 4     # dense-site NMS window (ND = (H/NW)*(W/NW))
 
     @property
     def D(self) -> int:
@@ -57,7 +58,8 @@ def make_dims(num_kf=9, num_ow=24, M=64, img_size=(192, 256), nms_window=4,
     H, W = img_size
     return WindowDims(K=num_kf, O=num_ow, M=M, H=H, W=W,
                       ND=(H // nms_window) * (W // nms_window), L=num_kf * M,
-                      P=max_pairs(num_kf, num_ow, radius_pairs), C=channels)
+                      P=max_pairs(num_kf, num_ow, radius_pairs), C=channels,
+                      NW=nms_window)
 
 
 class WindowState(NamedTuple):

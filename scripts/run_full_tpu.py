@@ -20,6 +20,11 @@ def main():
     p.add_argument("--img", type=int, nargs=2, default=[192, 256])
     p.add_argument("--runtime", default="seq", choices=["seq", "pipeline"])
     p.add_argument("--step", type=float, default=0.012)
+    p.add_argument("--scene", default="plane", choices=["plane", "clutter"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prior", default=None, choices=[None, "analytic", "unet"])
+    p.add_argument("--model", default=None,
+                   help="msgpack UNet weights (with --prior unet)")
     args = p.parse_args()
 
     import jax
@@ -34,9 +39,13 @@ def main():
     IMG = tuple(args.img)
     cfg = ComoConfig()
     cfg.img_size = list(IMG)
+    if args.prior:
+        cfg.mapping.prior = args.prior
+    if args.model:
+        cfg.mapping.model_path = args.model
     cfg.validate()
-    ds = SyntheticDataset(n_frames=args.frames, img_size=IMG, seed=0,
-                          step=args.step)
+    ds = SyntheticDataset(n_frames=args.frames, img_size=IMG, seed=args.seed,
+                          step=args.step, scene=args.scene)
 
     if args.runtime == "seq":
         from como_tpu.runtime.seq import ComoSeq as Engine
