@@ -62,7 +62,11 @@ def setup_reference(rgb, cov_img, coords_m_rc, K, scale,
     e_m = kernels.interpolate_cov_params(cov_img, coords_m_norm)
     K_mm = kernels.cross_covariance(coords_m_norm, e_m, coords_m_norm, e_m, scale)
     M = K_mm.shape[0]
-    L_mm = jnp.linalg.cholesky(K_mm + 1e-6 * jnp.eye(M, dtype=dtype))
+    # scale-adaptive jitter: wide learned kernels make K_mm near rank-1, and
+    # a fixed 1e-6 floor leaves ||K_mm^-1|| ~ 1e6 — enough to drown the
+    # scale-gauge curvature in the f32 GN solve below
+    jitter = 1e-6 + 1e-4 * jnp.mean(jnp.diagonal(K_mm))
+    L_mm = jnp.linalg.cholesky(K_mm + jitter * jnp.eye(M, dtype=dtype))
     from como_tpu.ops.linalg import cholesky_inverse
     Kmm_inv = cholesky_inverse(L_mm)
 
@@ -134,24 +138,50 @@ def _level_gn(Tji, logzm, lvl: SfmLevel, img_j3, Kmm_inv, L_mm, term):
         g_d = g_d - Kinv_lz
         prior_err = jnp.dot(logzm, Kinv_lz)
 
-        # mean log depth prior (sigma = 1): r = mean(logz_n)
+        # mean-log-depth gauge prior: r = mean(logz_n).  The reference
+        # weighs this scalar with sigma=1 (two_frame_sfm.py:360-362), which
+        # holds only because its kernels keep depth observable; with wide
+        # learned kernels the dense depth is near-constant and the photo
+        # term pushes the (monocularly unobservable) scale around freely —
+        # so pin the gauge with information proportional to the photometric
+        # row count.  Along a true gauge direction this costs nothing.
+        w_mean = jnp.asarray(lvl.vals.shape[0], dtype)
         mean_r = jnp.mean(logz_n)
-        H_dd = H_dd + jnp.outer(colmean, colmean)
-        g_d = g_d - colmean * mean_r
-        mean_err = mean_r * mean_r
+        H_dd = H_dd + w_mean * jnp.outer(colmean, colmean)
+        g_d = g_d - w_mean * colmean * mean_r
+        mean_err = w_mean * mean_r * mean_r
 
         H = jnp.zeros((D, D), dtype)
         H = H.at[:6, :6].set(H_TT).at[:6, 6:].set(H_Td).at[6:, :6].set(H_Td.T)
         H = H.at[6:, 6:].add(H_dd)
         g = jnp.concatenate([g_T, g_d])
-        H = H + 1e-8 * jnp.eye(D, dtype=dtype)
-        Lc = jnp.linalg.cholesky(H)
-        yv = jax.scipy.linalg.solve_triangular(Lc, g[:, None], lower=True)
+        # Jacobi-preconditioned solve: H entries span ~1e-4 (mean-depth
+        # gauge pin) to ~1e4+ (K_mm^-1 with wide kernels); an unscaled f32
+        # Cholesky loses the gauge curvature entirely and the step can jump
+        # along the monocular scale direction.  Symmetric diagonal scaling
+        # is exact (not an approximation) and makes the factorization
+        # scale-invariant.
+        dsc = jax.lax.rsqrt(jnp.abs(jnp.diagonal(H)) + 1e-12)
+        Hs = H * dsc[:, None] * dsc[None, :] + 1e-7 * jnp.eye(D, dtype=dtype)
+        Lc = jnp.linalg.cholesky(Hs)
+        yv = jax.scipy.linalg.solve_triangular(Lc, (g * dsc)[:, None],
+                                               lower=True)
         delta = jax.scipy.linalg.solve_triangular(Lc.T, yv, lower=False)[:, 0]
+        delta = delta * dsc
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
 
-        Tji_new = Tji @ lie.se3_exp(delta[:6])
-        logzm_new = logzm + delta[6:]
+        # trust region: cap the pose step and per-anchor log-depth steps.
+        # Normal convergence takes steps far below these caps; what they
+        # prevent is the single-iteration overshoot along near-singular
+        # directions that warps the frame out of overlap and forces a
+        # bootstrap reseed (mapping's GN has the same guard on landmarks).
+        dT = delta[:6]
+        dT = dT * jnp.minimum(1.0, 1.0 / jnp.maximum(
+            jnp.linalg.norm(dT), 1e-12))
+        dz = jnp.clip(delta[6:], -0.5, 0.5)
+
+        Tji_new = Tji @ lie.se3_exp(dT)
+        logzm_new = logzm + dz
         total = photo_err + prior_err + mean_err
         return Tji_new, logzm_new, jnp.linalg.norm(delta[:6]), total
 

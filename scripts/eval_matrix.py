@@ -1,0 +1,101 @@
+"""Full-size accuracy matrix on the real TPU: scene x seed x prior.
+
+The reference's validation path is whole-sequence ATE on real datasets
+(reference README.md:25-31); with no dataset mounted, this is the
+systematic synthetic equivalent: every cell runs the full 192x256
+pipeline (9 KF / 24 OW window, 64 anchors) end-to-end and reports
+scale-aligned ATE RMSE + steady-state FPS.  Results land in
+results/eval_matrix.json (one JSON object per cell) for the round
+artifacts.
+
+    python scripts/eval_matrix.py --frames 120 --seeds 0 1 2
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_cell(scene, seed, prior, model, frames, img):
+    import numpy as np
+
+    from como_tpu.config import ComoConfig
+    from como_tpu.data.synthetic import SyntheticDataset
+    from como_tpu.runtime.seq import ComoSeq
+    from como_tpu.utils.io import ate_rmse
+
+    cfg = ComoConfig()
+    cfg.img_size = list(img)
+    cfg.mapping.prior = prior
+    cfg.mapping.model_path = model if prior == "unet" else ""
+    cfg.validate()
+    ds = SyntheticDataset(n_frames=frames, img_size=img, seed=seed,
+                          step=0.012, scene=scene)
+    eng = ComoSeq(cfg, ds.intrinsics, img)
+    eng.setup()
+    t0 = time.perf_counter()
+    for i in range(len(ds)):
+        ts, rgb = ds[i]
+        eng.step(float(ts), rgb)
+        if i == 20:
+            t0 = time.perf_counter()
+    eng.finish()
+    fps = (len(ds) - 21) / (time.perf_counter() - t0)
+    ts_arr = np.asarray(eng.timestamps)
+    idx = (ts_arr * 30.0).round().astype(int)
+    gt = np.array(ds.poses)[idx]
+    est = np.stack([np.array(p) for p in eng.est_poses])
+    ate = float(ate_rmse(est, gt, with_scale=True))
+    path_len = float(np.sum(np.linalg.norm(
+        np.diff(np.array(ds.poses)[:, :3, 3], axis=0), axis=-1)))
+    return dict(scene=scene, seed=seed, prior=prior,
+                ate_cm=round(100.0 * ate, 3), fps=round(fps, 2),
+                frames_tracked=int(len(ts_arr)), num_kf=eng.mapping.num_kf,
+                path_len_m=round(path_len, 3))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--img", type=int, nargs=2, default=[192, 256])
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    p.add_argument("--scenes", nargs="+", default=["plane", "clutter"])
+    p.add_argument("--priors", nargs="+", default=["analytic", "unet"])
+    p.add_argument("--model", default="models/depthcov.msgpack")
+    p.add_argument("--out", default="results/eval_matrix.json")
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    img = tuple(args.img)
+    rows = []
+    for scene in args.scenes:
+        for prior in args.priors:
+            for seed in args.seeds:
+                r = run_cell(scene, seed, prior, args.model, args.frames, img)
+                r["device"] = str(jax.devices()[0])
+                rows.append(r)
+                print(json.dumps(r), flush=True)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=1)
+
+    # summary table: scene x prior -> mean ATE over seeds
+    print("\nscene      prior     mean_ate_cm  per-seed")
+    for scene in args.scenes:
+        for prior in args.priors:
+            cells = [r for r in rows
+                     if r["scene"] == scene and r["prior"] == prior]
+            ates = [r["ate_cm"] for r in cells]
+            per = " / ".join(f"{a:.1f}" for a in ates)
+            print(f"{scene:<10} {prior:<9} {sum(ates) / len(ates):>8.2f}    {per}")
+
+
+if __name__ == "__main__":
+    main()

@@ -105,3 +105,41 @@ def test_sfm_bootstrap_recovers_motion(scene):
     # 16 anchors + analytic prior at 48x64: structure is recovered but
     # interpolation is coarse (the e2e ATE test pins full-loop quality)
     assert corr > 0.6, corr
+
+
+def test_sfm_stable_with_wide_kernels():
+    """Degenerate near-constant covariance — what an over-smooth learned
+    prior emits — makes K_mm near rank-1 and the dense log-depth nearly
+    constant, so the monocular scale gauge is pinned only by the tiny
+    mean-log-depth curvature.  The preconditioned, trust-region SfM GN
+    must keep that gauge (regression: the full-size bootstrap with the
+    trained UNet jumped e^1.1x in scale on the first align, warped out of
+    overlap, and reseeded forever)."""
+    from como_tpu.data.synthetic import ClutterScene
+    from como_tpu.odom.mapping import (_Hashable, _sfm_pyr3,
+                                       sample_initial_anchors)
+
+    IMG_W = (96, 128)
+    scene = ClutterScene(img_size=IMG_W, seed=0)
+    rgb0, _ = scene.render(jnp.eye(4))
+    H, W = IMG_W
+    cov = jnp.stack([1.5 * jnp.ones((H, W)), 1.5 * jnp.ones((H, W)),
+                     jnp.zeros((H, W))])  # wide isotropic kernels
+    rc_m = sample_initial_anchors(cov, 1.0, 32, 2, 0.015, 0.1, 1e-4)
+    ref = sfm_mod.setup_reference(rgb0, cov, rc_m, scene.K, 1.0, 0, 3)
+
+    term = _Hashable(max_iter=50, delta_norm=1e-4, rel_tol=1e-4)
+    Tji, logzm = jnp.eye(4), jnp.zeros((32,))
+    n_pix = H * W
+    for i in range(1, 5):
+        pose = scene.trajectory(1 + i, step=0.03)[i]
+        rgb_i, _ = scene.render(pose)
+        pyr3 = _sfm_pyr3(rgb_i, 0, 3)
+        Tji, logzm, mean_logz, count, med = sfm_mod.sfm_align(
+            ref, pyr3, Tji, logzm, term)
+        # scale gauge pinned: the row-count-weighted mean-log-depth prior
+        # must hold the mean near 0 instead of the e^1.1+ runaway
+        assert abs(float(mean_logz)) < 0.35, (i, float(mean_logz))
+        # the aligned frame keeps overlap (no reseed-forever regression)
+        assert float(count) / n_pix > 0.5, (i, float(count) / n_pix)
+        assert np.all(np.isfinite(np.array(Tji)))
