@@ -205,6 +205,18 @@ def _kf_ref_data_state(st, idx, hw):
             depth[None, None])
 
 
+@partial(jax.jit, static_argnames=("R", "hw"))
+def _kf_ref_data_multi(st, lo, R: int, hw):
+    """R trailing reference KFs in ONE program (one tunnel round trip,
+    not one dense-depth dispatch per KF).  R is static: retraces once per
+    count while the window fills, then never again."""
+    idx = lo + jnp.arange(R)
+    logz = jnp.einsum("rnm,rm->rn", st.Knm_full[idx], st.logzm[idx],
+                      precision=HIGH)
+    depth = jnp.exp(logz).reshape((R,) + tuple(hw))[:, None]
+    return st.kf_rgb[idx], st.kf_pose[idx], st.kf_aff[idx], depth
+
+
 @partial(jax.jit, static_argnames=("M", "ccfg", "nms_window", "hw", "C"))
 def _corr_and_prep(pose_last, pose_init, pm_last, logzm_last, Knm_full_last,
                    rgb, cov_img, K, scale, M: int, ccfg, nms_window: int, hw,
@@ -600,12 +612,9 @@ class Mapping:
                 st, jnp.int32(self.num_kf - 1), self.img_size)
             return (self.kf_ts[-1:], rgb, pose, aff, depth)
         lo = max(0, self.num_kf - num_ref)
-        idx = list(range(lo, self.num_kf))
-        depth = jnp.stack([
-            dense_depth_image(st.Knm_full[i], st.logzm[i], self.img_size)
-            for i in idx])[:, None]
-        return (self.kf_ts[lo:self.num_kf], st.kf_rgb[jnp.array(idx)],
-                st.kf_pose[jnp.array(idx)], st.kf_aff[jnp.array(idx)], depth)
+        rgb, pose, aff, depth = _kf_ref_data_multi(
+            st, jnp.int32(lo), self.num_kf - lo, self.img_size)
+        return (self.kf_ts[lo:self.num_kf], rgb, pose, aff, depth)
 
     def get_kf_viz_data(self):
         st = self.state
