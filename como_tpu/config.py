@@ -155,10 +155,18 @@ class MappingConfig:
 class ComoConfig:
     name: str = "como_tpu"
     img_size: List[int] = field(default_factory=lambda: [192, 256])
+    # Frames of dispatch depth before a keyframe/one-way decision is
+    # resolved (runtime/seq.py).  Each in-flight frame hides one
+    # per-program round trip of a remote-attached TPU, so deeper lag
+    # raises e2e FPS (measured medians 48/35/22 ms at 1/2/3) at the cost
+    # of decisions landing that many frames later.  1 = the reference's
+    # decide-immediately behavior, one frame late.
+    dispatch_depth: int = 1
     tracking: TrackingConfig = field(default_factory=TrackingConfig)
     mapping: MappingConfig = field(default_factory=MappingConfig)
 
     def validate(self) -> "ComoConfig":
+        assert 1 <= self.dispatch_depth <= 8, "dispatch_depth in [1, 8]"
         assert self.tracking.pyr.start_level >= 0
         assert self.tracking.pyr.end_level > self.tracking.pyr.start_level
         assert self.mapping.graph.num_keyframes >= 2

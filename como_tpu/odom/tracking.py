@@ -216,6 +216,22 @@ class Tracking:
     # stats and returns device handles; decide() pulls the (by then
     # complete) stats and runs the keyframe/one-way logic — typically
     # called one frame later by the engine, keeping the queue full.
+    @staticmethod
+    def prefetch_decision(pending: dict) -> dict:
+        """Enqueue async device->host copies of the arrays `decide` reads.
+
+        The per-frame loop's floor is one blocking host sync per frame
+        (np.asarray(stats) in decide = a full round trip on a
+        remote-attached TPU, measured ~39 ms of a 41 ms median frame).
+        Starting the D2H copy at dispatch time overlaps the transfer with
+        the next frame's work, so decide finds the bytes already on host.
+        """
+        for key in ("stats", "T_w_curr"):
+            arr = pending.get(key)
+            if hasattr(arr, "copy_to_host_async"):
+                arr.copy_to_host_async()
+        return pending
+
     def dispatch_frame(self, timestamp: float, rgb: jax.Array):
         T_init = self.T_curr_kf
         if self.use_motion_model and self._T_prev is not None:
@@ -228,10 +244,11 @@ class Tracking:
         self._T_prev = T_before
         self.T_curr_kf, self.aff_curr_kf = Tji, aff
         C = 3 if self.cfg.color == "rgb" else 1
-        return dict(ts=timestamp, rgb=rgb, Tji=Tji, aff=aff,
-                    T_w_curr=T_w_curr, stats=stats,
-                    kf_received_ts=self.kf_received_ts,
-                    num_kf_pixels=self.levels[-1].vals.shape[0] // C)
+        return self.prefetch_decision(dict(
+            ts=timestamp, rgb=rgb, Tji=Tji, aff=aff,
+            T_w_curr=T_w_curr, stats=stats,
+            kf_received_ts=self.kf_received_ts,
+            num_kf_pixels=self.levels[-1].vals.shape[0] // C))
 
     def decide(self, pending):
         """Keyframe / one-way decision from a dispatched frame's stats."""

@@ -90,7 +90,7 @@ class ComoSeq:
         self.ref_period = 0.25  # seconds of *dataset time* between refreshes
         self._last_ref_ts = -1e9
         self._pending: List = []
-        self.decision_lag = 1  # frames of dispatch depth before deciding
+        self.decision_lag = cfg.dispatch_depth  # dispatch depth before deciding
         self.log = EventLog()
 
     def setup(self):
@@ -174,10 +174,11 @@ class ComoSeq:
         m.state = new_state
         m.note_iteration(gn_stats)
         C = 3 if t.cfg.color == "rgb" else 1
-        return dict(ts=timestamp, rgb=rgb, Tji=Tji, aff=aff,
-                    T_w_curr=T_w_curr, stats=stats,
-                    kf_received_ts=t.kf_received_ts,
-                    num_kf_pixels=t.levels[-1].vals.shape[0] // C)
+        return t.prefetch_decision(dict(
+            ts=timestamp, rgb=rgb, Tji=Tji, aff=aff,
+            T_w_curr=T_w_curr, stats=stats,
+            kf_received_ts=t.kf_received_ts,
+            num_kf_pixels=t.levels[-1].vals.shape[0] // C))
 
     def finish(self):
         """Resolve the remaining dispatched frames (stream end)."""

@@ -22,6 +22,10 @@ def main():
     p.add_argument("--img", type=int, nargs=2, default=[192, 256])
     p.add_argument("--scene", default="clutter")
     p.add_argument("--warmup", type=int, default=30)
+    p.add_argument("--lag", type=int, default=None,
+                   help="override engine decision_lag (dispatch depth)")
+    p.add_argument("--prerender", action="store_true",
+                   help="render all frames to host numpy before the loop")
     args = p.parse_args()
 
     import jax
@@ -41,6 +45,12 @@ def main():
                           step=0.012, scene=args.scene)
     eng = ComoSeq(cfg, ds.intrinsics, IMG)
     eng.setup()
+    if args.lag is not None:
+        eng.decision_lag = args.lag
+    frames = None
+    if args.prerender:
+        frames = [(float(t), np.asarray(r))
+                  for t, r in (ds[i] for i in range(len(ds)))]
 
     acc = defaultdict(list)
     recording = [False]
@@ -70,7 +80,7 @@ def main():
 
     lat = []
     for i in range(len(ds)):
-        ts, rgb = ds[i]
+        ts, rgb = frames[i] if frames is not None else ds[i]
         s = time.perf_counter()
         eng.step(float(ts), rgb)
         dt = time.perf_counter() - s

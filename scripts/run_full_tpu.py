@@ -23,6 +23,8 @@ def main():
     p.add_argument("--scene", default="plane", choices=["plane", "clutter"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--prior", default=None, choices=[None, "analytic", "unet"])
+    p.add_argument("--lag", type=int, default=None,
+                   help="dispatch depth (cfg.dispatch_depth)")
     p.add_argument("--model", default=None,
                    help="msgpack UNet weights (with --prior unet)")
     args = p.parse_args()
@@ -43,6 +45,8 @@ def main():
         cfg.mapping.prior = args.prior
     if args.model:
         cfg.mapping.model_path = args.model
+    if args.lag is not None:
+        cfg.dispatch_depth = args.lag
     cfg.validate()
     ds = SyntheticDataset(n_frames=args.frames, img_size=IMG, seed=args.seed,
                           step=args.step, scene=args.scene)
