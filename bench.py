@@ -90,13 +90,18 @@ def main():
     eng = ComoSeq(cfg_e2e, ds.intrinsics, img_size)
     eng.setup()
     t0 = time.perf_counter()
+    lat = []
     for i in range(len(ds)):
         ts_i, rgb_i = ds[i]
+        s = time.perf_counter()
         eng.step(float(ts_i), rgb_i)
+        lat.append(time.perf_counter() - s)
         if i == 20:
             t0 = time.perf_counter()
+            lat = []
     eng.finish()
     e2e_fps = (len(ds) - 21) / (time.perf_counter() - t0)
+    lat_ms = np.array(lat) * 1e3
     ts_arr = np.asarray(eng.timestamps)
     est = np.stack([np.array(p) for p in eng.est_poses])
     idx = (ts_arr * 30.0).round().astype(int)
@@ -115,6 +120,8 @@ def main():
             "mapping_gn_iter_ms": round(1000.0 * dt_gn, 2),
             "gn_vs_50ms_budget": round(0.05 / dt_gn, 3),
             "e2e_fps": round(float(e2e_fps), 2),
+            "e2e_median_ms": round(float(np.median(lat_ms)), 1),
+            "e2e_p90_ms": round(float(np.percentile(lat_ms, 90)), 1),
             "e2e_ate_cm": round(100.0 * e2e_ate, 3),
             "e2e_world": "clutter 192x256, 9KF/24OW, 64 anchors, "
                          f"{len(ds)} frames, {path_len:.2f} m path",
