@@ -126,7 +126,12 @@ class ComoPipeline:
                         else:
                             data = tree_device_put(data, self.map_dev)
                             kf_updated = m.handle_tracking_data(data)
-                            self.viz_q.push(m.get_kf_viz_data(), block=False)
+                            if self.viz_listener is not None:
+                                # get_kf_viz_data costs ~K dense-depth
+                                # dispatches + host syncs: only pay it
+                                # when an observer is attached
+                                self.viz_q.push(m.get_kf_viz_data(),
+                                                block=False)
 
                 if m.is_init and m.maybe_iterate() is not None:
                     kf_updated = True
