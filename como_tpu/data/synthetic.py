@@ -82,15 +82,28 @@ class PlaneScene:
         return rgb, depth
 
     def trajectory(self, n_frames: int, step: float = 0.02, rot_step: float = 0.004,
-                   seed: int = 1):
-        """Smooth forward-sideways camera path; returns (n, 4, 4) world poses."""
+                   seed: int = 1, min_dist: float = 0.8):
+        """Smooth forward-sideways camera path; returns (n, 4, 4) world poses.
+
+        The walk is reflected off a standoff surface `min_dist` in front of
+        the scene plane: long runs stay in-domain instead of the camera
+        drifting through the plane (which makes any odometry problem
+        ill-posed as depth -> 0)."""
         rng = np.random.default_rng(seed)
         poses = [np.eye(4, dtype=np.float32)]
+        n_np = np.array(self.normal, np.float64)
+        d0 = float(self.d0)
         xi = np.zeros(6, dtype=np.float32)
         for _ in range(n_frames - 1):
             xi[:3] = 0.7 * xi[:3] + rot_step * rng.normal(size=3)
             xi[3:] = 0.7 * xi[3:] + step * (rng.normal(size=3) * [1.0, 1.0, 0.4] + [0.5, 0.1, 0.0])
             T_next = poses[-1] @ np.array(lie.se3_exp(jnp.array(xi)))
+            if d0 - n_np @ T_next[:3, 3] < min_dist:
+                # reflect the drift velocity off the standoff surface
+                # (xi[3:] is body-frame: reflect about the body-frame normal)
+                n_body = (poses[-1][:3, :3].T @ n_np).astype(np.float32)
+                xi[3:] -= 2.0 * (xi[3:] @ n_body) * n_body
+                T_next = poses[-1] @ np.array(lie.se3_exp(jnp.array(xi)))
             poses.append(T_next.astype(np.float32))
         return jnp.array(np.stack(poses))
 

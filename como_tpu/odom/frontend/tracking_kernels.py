@@ -93,6 +93,9 @@ def _level_solve(Tji, aff, lvl: TrackLevel, img_j, term):
         L = jnp.linalg.cholesky(Hm + 1e-8 * jnp.eye(8, dtype=dtype))
         yv = jax.scipy.linalg.solve_triangular(L, g[:, None], lower=True)
         delta = jax.scipy.linalg.solve_triangular(L.T, yv, lower=False)[:, 0]
+        # degenerate views (e.g. a poisoned KF reference) must not poison
+        # the pose: a non-finite step freezes rather than corrupts
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
 
         Tji_new = Tji @ lie.se3_exp(-delta[:6])
         aff_new = aff - delta[6:]

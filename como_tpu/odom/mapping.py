@@ -415,7 +415,6 @@ class Mapping:
         self._rebuild_pairs()
 
     def add_keyframe(self, rgb, pose_init, aff_init, timestamp):
-        cfg = self.cfg
         M, Kdim = self.dims.M, self.dims.K
         st = self.state
         last = self.num_kf - 1

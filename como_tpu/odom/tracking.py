@@ -164,6 +164,7 @@ class Tracking:
     kf_received_ts: float = -1.0
     last_kf_sent_ts: float = -1.0
     num_one_way_since_kf: int = 0
+    _last_good: Optional[tuple] = None  # (Tji, aff) of last finite decide
 
     def setup(self):
         self.use_motion_model = getattr(self.cfg, "use_motion_model", False)
@@ -253,6 +254,17 @@ class Tracking:
     def decide(self, pending):
         """Keyframe / one-way decision from a dispatched frame's stats."""
         stats = np.asarray(pending["stats"])
+        if not np.all(np.isfinite(stats)):
+            # tracking diverged (degenerate view, lost overlap): mark the
+            # frame lost, restore the last finite relative pose so later
+            # frames can re-lock onto the KF reference, and never emit a
+            # non-finite pose (SURVEY 5.3: fail soft, no supervision crash)
+            pending["lost"] = True
+            if self._last_good is not None:
+                self.T_curr_kf, self.aff_curr_kf = self._last_good
+            self._T_prev = None
+            return None
+        self._last_good = (pending["Tji"], pending["aff"])
         num_reproj = int(stats[0])
         median_depth = float(stats[1])
         kf_dist = float(stats[2])
@@ -286,7 +298,8 @@ class Tracking:
         """Synchronous track-then-decide (reference handle_frame)."""
         pending = self.dispatch_frame(timestamp, rgb)
         track_data_map = self.decide(pending)
-        return (timestamp, pending["T_w_curr"]), track_data_map
+        T = None if pending.get("lost") else pending["T_w_curr"]
+        return (timestamp, T), track_data_map
 
     def get_curr_world_pose(self):
         return transforms.get_T_w_curr(self.T_w_kf[None], self.T_curr_kf[None])[0]

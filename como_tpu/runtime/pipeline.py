@@ -153,6 +153,8 @@ class ComoPipeline:
         msg = self.pose_q.pop_until_latest()
         if msg is not None and msg[0] != "end":
             ts, T = msg
+            if T is None:  # frame lost: hold the last finite pose
+                T = self.est_poses[-1] if self.est_poses else np.eye(4)
             out = np.array(T)
             self.timestamps.append(ts)
             self.est_poses.append(out)
@@ -173,6 +175,8 @@ class ComoPipeline:
             if msg is None or msg[0] == "end":
                 break
             ts, T = msg
+            if T is None:
+                T = self.est_poses[-1] if self.est_poses else np.eye(4)
             self.timestamps.append(ts)
             self.est_poses.append(np.array(T))
 

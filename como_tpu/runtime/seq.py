@@ -107,7 +107,12 @@ class ComoSeq:
         p = self._pending.pop(0)
         track_map = self.tracking.decide(p)
         self.timestamps.append(p["ts"])
-        self.est_poses.append(p["T_w_curr"])
+        if p.get("lost") and self.est_poses:
+            # tracking diverged on this frame: hold the last finite pose
+            # (decide restored the tracker's relative pose for re-lock)
+            self.est_poses.append(self.est_poses[-1])
+        else:
+            self.est_poses.append(p["T_w_curr"])
         kf_inserted = False
         if track_map is not None:
             with device_scope(self.map_dev):

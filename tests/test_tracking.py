@@ -98,3 +98,31 @@ def test_keyframe_decision_on_large_motion(scene):
     rgb1, _ = scene.render(T_w_curr)
     _, track_map = t.handle_frame(1 / 30.0, rgb1)
     assert track_map is not None and track_map[0] == "keyframe"
+
+
+def test_lost_frame_holds_pose(scene):
+    """Non-finite tracking stats (degenerate view / poisoned reference)
+    must mark the frame lost, restore the last finite relative pose, and
+    hand the runtime a None pose to hold — never a NaN (regression: a
+    400-frame plane walk drove depth -> 0 and NaN poses reached the
+    trajectory)."""
+    t = make_tracking(scene)
+    T_kf = jnp.eye(4)
+    rgb0, depth0 = scene.render(T_kf)
+    t.update_kf_reference(([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+    rgb1, _ = scene.render(lie.se3_exp(jnp.array([0, 0, 0, 0.02, 0.0, 0.0])))
+    (_, T1), _ = t.handle_frame(1 / 30.0, rgb1)
+    assert T1 is not None and bool(jnp.all(jnp.isfinite(T1)))
+    good_T, good_aff = t._last_good
+
+    poisoned = dict(ts=2 / 30.0, rgb=rgb1, Tji=jnp.full((4, 4), jnp.nan),
+                    aff=jnp.zeros((2,)), T_w_curr=jnp.full((4, 4), jnp.nan),
+                    stats=jnp.array([jnp.nan, jnp.nan, jnp.nan]),
+                    kf_received_ts=t.kf_received_ts, num_kf_pixels=100)
+    t.T_curr_kf = jnp.full((4, 4), jnp.nan)
+    out = t.decide(poisoned)
+    assert out is None and poisoned.get("lost") is True
+    assert t.T_curr_kf is good_T and t.aff_curr_kf is good_aff
+    # next frame re-locks from the restored pose and stays finite
+    (_, T2), _ = t.handle_frame(3 / 30.0, rgb1)
+    assert T2 is not None and bool(jnp.all(jnp.isfinite(T2)))
