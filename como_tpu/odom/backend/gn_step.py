@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from como_tpu.geometry import lie
 from como_tpu.odom.window import WindowDims, WindowState
-from como_tpu.ops.interp import bilinear_sample, bilinear_sample_frames
+from como_tpu.ops.interp import bilinear_sample_frames
 from como_tpu.ops.reduce import fast_mad_sigma, histogram_median
 
 from como_tpu.odom.backend.robust import huber as _huber_w
