@@ -112,8 +112,12 @@ class SnapshotViewer:
         # overlays: trajectory polyline (green) + landmarks (red dots),
         # projected into the virtual view (reference GUI draws these as 3D
         # scene elements; the headless snapshot composites them in 2D)
-        Kn = np.asarray(K)
+        # overlay projections must use the same output-canvas intrinsics
+        # as the splat renderer (render_map scales K to out_size)
         hw = img.shape[:2]
+        Hin, Win = np.asarray(viz["rgbs"]).shape[-2:]
+        sy, sx = hw[0] / Hin, hw[1] / Win
+        Kn = np.asarray(K) * np.array([[sx, 1, sx], [1, sy, sy], [1, 1, 1]])
         traj = np.asarray(poses)[:, :3, 3]
         if traj.shape[0] >= 2:
             u, v, ok = _project_points(traj, T_view, Kn, hw)

@@ -74,8 +74,13 @@ def test_build_scene_all_elements():
 
 
 def test_snapshot_viewer_overlay(tmp_path):
-    """SnapshotViewer writes a PNG with the trajectory overlay drawn."""
+    """SnapshotViewer writes a PNG with the trajectory overlay drawn, and
+    the overlay is projected with the renderer's output-canvas-scaled
+    intrinsics (regression: overlays drawn with the unscaled input K
+    landed at half scale, floating disjoint from the splatted map)."""
     pytest.importorskip("PIL")
+    from PIL import Image
+
     from como_tpu.viz.viewer import SnapshotViewer
 
     class _Map:
@@ -86,12 +91,28 @@ def test_snapshot_viewer_overlay(tmp_path):
         mapping = _Map()
 
     viz = _fake_viz()
-    v = SnapshotViewer(_Eng(), out_dir=str(tmp_path), period_s=0.0)
+    # place the trajectory in front of the identity camera (z = 1.5) so a
+    # follow=False snapshot projects it deterministically
+    viz["poses"][:, 2, 3] = 1.5
+    v = SnapshotViewer(_Eng(), out_dir=str(tmp_path), period_s=0.0,
+                       follow=False)
     v._snapshot(viz)
     files = list(tmp_path.glob("*.png"))
     assert len(files) == 1
-    from PIL import Image
     img = np.array(Image.open(files[0]))
-    # the green trajectory overlay is present (exact pixels depend on the
-    # renderer; just require some pixels of the overlay color)
-    assert (np.all(img == np.array([40, 230, 70]), axis=-1)).sum() > 0
+    green = np.argwhere(np.all(img == np.array([40, 230, 70]), axis=-1))
+    assert len(green), "no trajectory overlay drawn"
+
+    # exact alignment: the segment joins the projections of the camera
+    # centers under K scaled to the output canvas
+    out_h, out_w = img.shape[:2]
+    Hin, Win = np.asarray(viz["rgbs"]).shape[-2:]
+    sx, sy = out_w / Win, out_h / Hin
+    fx, cx = 100.0 * sx, 32.0 * sx
+    fy, cy = 100.0 * sy, 24.0 * sy
+    traj = viz["poses"][:, :3, 3]
+    u_exp = fx * traj[:, 0] / traj[:, 2] + cx
+    v_exp = fy * traj[:, 1] / traj[:, 2] + cy
+    assert abs(green[:, 0] - v_exp[0]).min() <= 1.5
+    assert green[:, 1].min() >= np.floor(u_exp.min()) - 1
+    assert green[:, 1].max() <= np.ceil(u_exp.max()) + 1
