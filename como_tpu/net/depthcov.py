@@ -57,6 +57,23 @@ class DepthCovPrior:
         at the input resolution."""
         return self._jit_cov(rgb, rgb.shape[-2:])
 
+    def pure_fn(self):
+        """(fn, params) where fn(params, rgb, out_size) is the un-jitted
+        covariance computation — for fusing the per-keyframe net inference
+        into a larger device program (one dispatch instead of two; on a
+        remote-attached TPU each dispatch is a round trip)."""
+        return self._cov_params_impl_pure, self._params
+
+    def _cov_params_impl_pure(self, params, rgb, out_size):
+        net_rgb = resize_bilinear(rgb, self.network_size)
+        if self.mode == "analytic":
+            cov = analytic_prior.cov_params_from_rgb(net_rgb)
+        else:
+            cov = unet_mod.cov_params_from_rgb_unet(self._unet, params, net_rgb)
+        if tuple(out_size) != self.network_size:
+            cov = resize_bilinear(cov, tuple(out_size))
+        return cov
+
 
 def save_params(params, path: str):
     with open(path, "wb") as f:

@@ -316,6 +316,22 @@ class Mapping:
         self.num_ow = 0
         self.prior = DepthCovPrior(mode=cfg.prior, model_path=cfg.model_path)
         self.scale = self.prior.scale
+        # net inference + correspondence + predictor prep fused into ONE
+        # program per keyframe insertion (the separate cov_params dispatch
+        # cost a full round trip on remote-attached chips)
+        cov_fn, self._prior_params = self.prior.pure_fn()
+        dims, C, hw = self.dims, self.C, self.img_size
+
+        def _insert_prep_impl(params, pose_last, pose_init, pm_last,
+                              logzm_last, Knm_full_last, rgb, K, scale, key):
+            cov_img = cov_fn(params, rgb, hw)
+            res, prep, Pw_new = _corr_and_prep(
+                pose_last, pose_init, pm_last, logzm_last, Knm_full_last,
+                rgb, cov_img, K, scale, dims.M, self.corr_cfg, dims.NW, hw,
+                key, C)
+            return cov_img, res, prep, Pw_new
+
+        self._insert_prep = jax.jit(_insert_prep_impl)
         self.sigmas = SigmaStatic(
             mean_depth_prior=cfg.sigmas.mean_depth_prior,
             scale_prior=cfg.sigmas.scale_prior, pose_prior=cfg.sigmas.pose_prior,
@@ -419,12 +435,10 @@ class Mapping:
         st = self.state
         last = self.num_kf - 1
 
-        cov_img = self.prior.cov_params(rgb)
-        res, prep, Pw_new = _corr_and_prep(
-            st.kf_pose[last], pose_init, st.pm[last], st.logzm[last],
-            st.Knm_full[last], rgb, cov_img, self.K, self.scale, M,
-            self.corr_cfg, self.dims.NW, self.img_size,
-            jax.random.PRNGKey(len(self.kf_ts) + len(self.ow_ts)), self.C)
+        cov_img, res, prep, Pw_new = self._insert_prep(
+            self._prior_params, st.kf_pose[last], pose_init, st.pm[last],
+            st.logzm[last], st.Knm_full[last], rgb, self.K, self.scale,
+            jax.random.PRNGKey(len(self.kf_ts) + len(self.ow_ts)))
 
         tracked = np.array(res.tracked)
         src = np.array(res.src_anchor)
