@@ -93,3 +93,33 @@ def test_pipeline_end_to_end():
     assert eng.mapping.is_init
     assert len(eng.est_poses) > 5
     assert np.all(np.isfinite(np.stack(eng.est_poses)))
+
+
+def test_dispatch_depth_matches_depth1():
+    """cfg.dispatch_depth pipelines decisions N frames behind dispatch;
+    deeper depth must still converge to a close trajectory (measured on
+    TPU: unchanged ATE at 2, see NOTES_ROUND2)."""
+    from como_tpu.config import ComoConfig
+    from como_tpu.data.synthetic import SyntheticDataset
+    from como_tpu.runtime.seq import ComoSeq
+    from como_tpu.utils.io import ate_rmse
+
+    IMG = (48, 64)
+    ates = {}
+    for depth in (1, 2):
+        cfg = ComoConfig()
+        cfg.img_size = list(IMG)
+        cfg.dispatch_depth = depth
+        cfg.mapping.graph.num_keyframes = 4
+        cfg.mapping.graph.num_one_way_frames = 4
+        cfg.mapping.sampling.max_num_coords = 16
+        cfg.mapping.sampling.border = 2
+        cfg.validate()
+        ds = SyntheticDataset(n_frames=25, img_size=IMG, seed=0, step=0.02)
+        eng = ComoSeq(cfg, ds.intrinsics, IMG)
+        eng.setup()
+        ts, est = eng.run(ds)
+        assert np.all(np.isfinite(est))
+        idx = (np.asarray(ts) * 30.0).round().astype(int)
+        ates[depth] = ate_rmse(est, np.array(ds.poses)[idx], with_scale=True)
+    assert ates[2] < max(2.5 * ates[1], 0.02), ates
