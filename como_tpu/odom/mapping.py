@@ -319,7 +319,11 @@ class Mapping:
         # net inference + correspondence + predictor prep fused into ONE
         # program per keyframe insertion (the separate cov_params dispatch
         # cost a full round trip on remote-attached chips)
-        cov_fn, self._prior_params = self.prior.pure_fn()
+        cov_fn, prior_params = self.prior.pure_fn()
+        # params live on device once: deserialized checkpoints are host
+        # numpy, and passing those as jit args re-uploads the whole UNet
+        # every insertion (measured: p90 frame latency 1.2 s on the tunnel)
+        self._prior_params = jax.device_put(prior_params)
         dims, C, hw = self.dims, self.C, self.img_size
 
         def _insert_prep_impl(params, pose_last, pose_init, pm_last,
