@@ -140,9 +140,15 @@ class MappingConfig:
     track_ref_num_keyframes: int = 1
     graph: GraphConfig = field(default_factory=GraphConfig)
     photo_construction: PhotoConstructionConfig = field(default_factory=PhotoConstructionConfig)
+    # grad_norm=0.0 disables the gradient-norm stop for mapping: the BA
+    # gradient's scale (D ~ 1.9k stacked residual systems) has nothing to
+    # do with TermCriteria's tracking-tuned 1.0 default, so convergence is
+    # decided by delta_norm / rel_tol / abs_tol (a deliberate knob, not an
+    # inherited one).
     term_criteria: TermCriteria = field(
         default_factory=lambda: TermCriteria(max_iter=20, delta_norm=1e-8,
-                                             rel_tol=1e-6, abs_tol=1e-6)
+                                             rel_tol=1e-6, abs_tol=1e-6,
+                                             grad_norm=0.0)
     )
     sigmas: SigmasConfig = field(default_factory=SigmasConfig)
     sampling: SamplingConfig = field(default_factory=SamplingConfig)

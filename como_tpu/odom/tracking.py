@@ -209,6 +209,14 @@ class Tracking:
         self.kf_received_ts = new_ts
         self.T_w_kf = pose[-1]
         self.aff_w_kf = aff[-1]
+        # _last_good was expressed w.r.t. the previous KF; after a rebase
+        # it is stale in the wrong frame for re-lock.  Re-seed it from the
+        # rebased estimate if finite, else reset to identity so a loss
+        # right after a KF change can still re-lock (a non-finite
+        # T_curr_kf here means tracking was lost with nothing finite yet).
+        if not np.all(np.isfinite(np.asarray(self.T_curr_kf))):
+            self._reset_rel_vars()
+        self._last_good = (self.T_curr_kf, self.aff_curr_kf)
 
     # -- per-frame, async split ----------------------------------------------
     # On a remote-attached TPU every host<->device sync stalls the dispatch
@@ -262,6 +270,11 @@ class Tracking:
             pending["lost"] = True
             if self._last_good is not None:
                 self.T_curr_kf, self.aff_curr_kf = self._last_good
+            else:
+                # lost before any finite decide: identity w.r.t. the KF is
+                # the only safe re-lock seed (T_curr_kf is NaN from the
+                # diverged dispatch)
+                self._reset_rel_vars()
             self._T_prev = None
             return None
         self._last_good = (pending["Tji"], pending["aff"])

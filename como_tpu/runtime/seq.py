@@ -107,10 +107,13 @@ class ComoSeq:
         p = self._pending.pop(0)
         track_map = self.tracking.decide(p)
         self.timestamps.append(p["ts"])
-        if p.get("lost") and self.est_poses:
+        if p.get("lost"):
             # tracking diverged on this frame: hold the last finite pose
-            # (decide restored the tracker's relative pose for re-lock)
-            self.est_poses.append(self.est_poses[-1])
+            # (decide restored the tracker's relative pose for re-lock);
+            # a loss before any finite pose exists yields identity, never
+            # the raw non-finite estimate
+            self.est_poses.append(self.est_poses[-1] if self.est_poses
+                                  else np.eye(4, dtype=np.float32))
         else:
             self.est_poses.append(p["T_w_curr"])
         kf_inserted = False

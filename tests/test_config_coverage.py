@@ -71,11 +71,7 @@ def test_every_config_field_is_read():
     assert eng.mapping.is_init  # the run must actually exercise the system
 
     expected = set(_leaf_paths(cfg))
-    # validate()-time-only reads: validate() runs on the raw object inside
-    # load_config, not through the proxy, so re-check them here explicitly.
-    # (Every field below IS consumed — by validation gates.)
-    validate_only = set()
-    unread = expected - seen - validate_only
+    unread = expected - seen
     assert not unread, (
         f"dead config knobs (defined but never read by product code): "
         f"{sorted(unread)}")

@@ -160,3 +160,72 @@ def test_fused_downdate_matches_xla(monkeypatch):
                                np.array(res_fused.coords_norm), atol=1e-6)
     np.testing.assert_allclose(np.array(res_xla.covs),
                                np.array(res_fused.covs), atol=1e-6)
+
+
+def greedy_with_trisolve(x, e, n_sel, signal_var=1.0):
+    """Mirror of the greedy loop using the backward-stable triangular
+    solve per step (the implementation the maintained-inverse redesign
+    replaced, ADVICE round 2): l_ni = solve(L[:i,:i], k_ni).  Pins the
+    inverse-factor path's selections on ill-conditioned domains."""
+    import scipy.linalg as sla
+    x_np = np.array(x, np.float32)
+    e_np = np.array(e, np.float32)
+    D = x_np.shape[0]
+    det = e_np[:, 0] * e_np[:, 1] - e_np[:, 2] ** 2
+    var = np.full(D, signal_var, np.float32)
+    L = np.zeros((n_sel, n_sel), np.float32)
+    obs_info = np.zeros((n_sel, D), np.float32)
+    chosen = []
+    for i in range(n_sel):
+        stdev = np.sqrt(np.maximum(var, 0.0)) + 1e-10
+        cost = det if i == 0 else stdev
+        best = int(np.argmax(cost))
+        chosen.append(best)
+        xi, ei = jnp.array(x_np[best])[None], jnp.array(e_np[best])[None]
+        if i > 0:
+            xs = jnp.array(x_np[chosen[:-1]])
+            es = jnp.array(e_np[chosen[:-1]])
+            k_ni = np.array(
+                kernels.cross_covariance(xi, ei, xs, es, signal_var)
+            )[0].astype(np.float32)
+            l_ni = sla.solve_triangular(L[:i, :i], k_ni, lower=True)
+            l_ni = l_ni.astype(np.float32)
+        else:
+            l_ni = np.zeros((0,), np.float32)
+        l_ii = np.float32(np.sqrt(max(signal_var - float(l_ni @ l_ni), 1e-12)))
+        k_id = np.array(
+            kernels.cross_covariance(xi, ei, jnp.array(x_np), jnp.array(e_np),
+                                     signal_var))[0].astype(np.float32)
+        obs_new = ((k_id - l_ni @ obs_info[:i]) / l_ii).astype(np.float32)
+        var = var - obs_new ** 2
+        L[i, :i] = l_ni
+        L[i, i] = l_ii
+        obs_info[i] = obs_new
+    return chosen, var
+
+
+def test_clustered_sites_match_trisolve():
+    """Near-duplicate candidate sites make K_nn near-singular so the
+    incremental Cholesky's l_ii hits its 1e-12 floor and f32 error in the
+    maintained L^-1 can compound across appends.  The selections and the
+    final posterior variance must still match the triangular-solve
+    implementation (ADVICE round 2, gp/sampler.py:155)."""
+    rng = np.random.default_rng(7)
+    # three tight clusters (spacing ~1e-4, far below the kernel length
+    # scale -> K rows nearly identical) + a handful of separated sites
+    centers = np.array([[-0.5, -0.5], [0.4, 0.1], [0.0, 0.7]], np.float32)
+    pts = [c + 1e-4 * rng.normal(size=(6, 2)) for c in centers]
+    pts.append(rng.uniform(-1, 1, size=(10, 2)))
+    x = np.concatenate(pts).astype(np.float32)
+    D = x.shape[0]
+    # identical wide kernels: maximally ill-conditioned cross-covariance
+    e = np.tile(np.array([0.25, 0.25, 0.0], np.float32), (D, 1))
+    S = 12
+    res = sampler.greedy_entropy_sample(
+        jnp.array(x), jnp.array(e), jnp.ones((D,), bool),
+        jnp.zeros((S, 2)), jnp.zeros((S, 3)), jnp.zeros((S,), bool),
+        jnp.zeros((S,)), signal_var=1.0, num_slots=S,
+    )
+    want, var_ref = greedy_with_trisolve(jnp.array(x), jnp.array(e), S)
+    got = list(np.array(res.domain_inds))
+    assert got == want
