@@ -49,6 +49,10 @@ class TrackingConfig:
     term_criteria: TermCriteria = field(default_factory=TermCriteria)
     use_motion_model: bool = False  # constant-velocity IC warm start
     keyframing: KeyframingConfig = field(default_factory=KeyframingConfig)
+    # ablation switch: False freezes the per-frame affine-brightness states
+    # at zero in the IC solve (tests prove they are load-bearing on
+    # photometrically real data; the reference always estimates them)
+    estimate_affine: bool = True
 
 
 @dataclass
@@ -155,6 +159,16 @@ class MappingConfig:
     corr: CorrConfig = field(default_factory=CorrConfig)
     init: InitConfig = field(default_factory=InitConfig)
     gn_damping: float = 1e-6  # Tikhonov damping on H (f32 safety)
+    # multi-chip BA (SURVEY 2.9; parallel/sharded.py): N >= 2 runs every
+    # mapping GN step shard_map'ed over an N-device mesh — the pair batch
+    # sharded, MAD sigma psum'd globally, Hessian block grids psum'd over
+    # ICI.  0/1 = single-device.  (The reference's analogous product knob
+    # is its per-stage device config, config/como.yml:5,27.)
+    mesh_devices: int = 0
+    # ablation switch mirroring tracking.estimate_affine: False zeroes the
+    # affine Jacobian columns in the photometric BA term, freezing all
+    # frames' affine states at zero
+    estimate_affine: bool = True
 
 
 @dataclass

@@ -11,12 +11,54 @@ tracking / SfM / BA convergence against known poses and depths.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from como_tpu.geometry import lie
+
+
+class PhotoNuisance(NamedTuple):
+    """Photometric nuisance model for the synthetic worlds.
+
+    Real sequences are not photometrically sterile: TUM/RealSense cameras
+    run auto-exposure (reference data/RealsenseDataset.py:47-49), lenses
+    vignette, and sensors add noise — it is exactly this that makes the
+    jointly-estimated per-frame affine-brightness states
+    (reference geometry/affine_brightness.py:5-16, Mapping.py:370-372)
+    load-bearing.  The model applied to a clean render I:
+
+        I' = exp(a_t) * (V(p) * I) + b_t + noise_sigma * N(0, 1)
+
+    where (a_t, b_t) is a known per-frame AR(1) random walk (ground truth
+    available via SyntheticDataset.gt_affine) and V(p) = 1 - vignette *
+    (r / r_max)^2 is a static radial falloff.  Exposure/bias are exactly
+    the system's affine model; vignetting and noise are deliberate model
+    violations that stress the Huber/MAD robust machinery.  No sensor
+    clipping: the affine relation stays exact where it is supposed to.
+    """
+    exposure_jitter: float = 0.0   # AR(1) innovation std of log-gain a_t
+    bias_jitter: float = 0.0      # AR(1) innovation std of bias b_t
+    noise_sigma: float = 0.0      # per-pixel Gaussian sensor noise
+    vignette: float = 0.0         # corner falloff strength in [0, 1)
+    ar_decay: float = 0.97        # AR(1) pole (stationary std = jitter/sqrt(1-d^2))
+
+
+# the "photo" scene-variant preset: stationary log-gain std ~0.16
+# (per-frame gain swinging ~0.85-1.17x), bias std ~0.04, 1% sensor noise,
+# 15% corner vignetting
+PHOTO_NUISANCE = PhotoNuisance(exposure_jitter=0.04, bias_jitter=0.01,
+                               noise_sigma=0.01, vignette=0.15)
+
+
+@partial(jax.jit, static_argnames=("noise_sigma",))
+def _apply_nuisance(rgb, a, b, vmap_img, key, noise_sigma: float):
+    out = jnp.exp(a) * (vmap_img * rgb) + b
+    if noise_sigma > 0.0:
+        out = out + noise_sigma * jax.random.normal(key, rgb.shape, rgb.dtype)
+    return out
 
 
 def default_intrinsics(img_size=(192, 256), dtype=jnp.float32) -> jax.Array:
@@ -40,7 +82,7 @@ class PlaneScene:
     """World = plane n . P = d0 (slightly tilted, ~2m away), smooth texture."""
 
     def __init__(self, img_size=(192, 256), seed: int = 0, num_waves: int = 24,
-                 max_freq: float = 6.0):
+                 max_freq: float = 6.0, chroma: bool = False):
         self.img_size = tuple(img_size)
         self.K = default_intrinsics(img_size)
         rng = np.random.default_rng(seed)
@@ -53,6 +95,14 @@ class PlaneScene:
         self.freqs = jnp.array(f, jnp.float32)
         self.amps = jnp.array(a, jnp.float32)
         self.phases = jnp.array(rng.uniform(0, 2 * np.pi, size=num_waves), jnp.float32)
+        # chroma: per-channel phase offsets + an RGB base color decorrelate
+        # the channels, so color genuinely carries extra gradient structure
+        # (chroma=False keeps the legacy gray x3 render bit-identical)
+        self.chroma = chroma
+        if chroma:
+            self.base_rgb = jnp.array(rng.uniform(0.3, 0.7, size=3), jnp.float32)
+            self.chan_phase = jnp.array(rng.uniform(0, 2 * np.pi, size=3),
+                                        jnp.float32)
 
     @partial(jax.jit, static_argnums=(0,))
     def render(self, T_wc: jax.Array):
@@ -75,9 +125,16 @@ class PlaneScene:
         s = (self.d0 - jnp.dot(self.normal, t)) / denom  # z-depth (ray has z=1 in cam)
         Pw = t[None, None] + s[..., None] * d_world
 
-        tex = _texture(Pw, self.freqs, self.amps, self.phases)
-        tex = jnp.clip(tex, 0.0, 1.0)
-        rgb = jnp.stack([tex, tex, tex], axis=0)[None]
+        if self.chroma:
+            arg = jnp.einsum("hwi,ki->hwk", Pw, self.freqs) + self.phases
+            argc = arg[..., None] + self.chan_phase          # (H, W, K, 3)
+            tex = self.base_rgb + jnp.einsum("hwkc,k->hwc", jnp.sin(argc),
+                                             self.amps)
+            rgb = jnp.clip(tex, 0.0, 1.0).transpose(2, 0, 1)[None]
+        else:
+            tex = _texture(Pw, self.freqs, self.amps, self.phases)
+            tex = jnp.clip(tex, 0.0, 1.0)
+            rgb = jnp.stack([tex, tex, tex], axis=0)[None]
         depth = s[None, None]
         return rgb, depth
 
@@ -127,9 +184,11 @@ class ClutterScene:
     EPS = 5e-2  # min hit distance (z-depth)
 
     def __init__(self, img_size=(192, 256), seed: int = 0, num_waves: int = 24,
-                 max_freq: float = 6.0, num_spheres: int = 5, num_boxes: int = 3):
+                 max_freq: float = 6.0, num_spheres: int = 5, num_boxes: int = 3,
+                 chroma: bool = False):
         self.img_size = tuple(img_size)
         self.K = default_intrinsics(img_size)
+        self.chroma = chroma
         rng = np.random.default_rng(seed)
 
         # primitives: 2 planes + spheres + boxes
@@ -178,6 +237,14 @@ class ClutterScene:
         self.freqs = jnp.array(f, jnp.float32)
         self.amps = jnp.array(a, jnp.float32)
         self.phases = jnp.array(ph, jnp.float32)
+        # chroma: per-primitive RGB base color + per-channel phase offsets
+        # (color discontinuities at silhouettes, channel-decorrelated
+        # texture detail); chroma=False keeps the legacy gray x3 render
+        if chroma:
+            self.base_rgb = jnp.array(rng.uniform(0.3, 0.7, size=(n_prim, 3)),
+                                      jnp.float32)
+            self.chan_phase = jnp.array(
+                rng.uniform(0, 2 * np.pi, size=(n_prim, 3)), jnp.float32)
 
     @partial(jax.jit, static_argnums=(0,))
     def render(self, T_wc: jax.Array):
@@ -232,9 +299,15 @@ class ClutterScene:
         am = self.amps[idx]
         ph = self.phases[idx]
         arg = jnp.einsum("hwi,hwki->hwk", Pw, fr) + ph
-        tex = self.base[idx] + jnp.einsum("hwk,hwk->hw", jnp.sin(arg), am)
-        tex = jnp.clip(tex, 0.0, 1.0)
-        rgb = jnp.stack([tex, tex, tex], axis=0)[None]
+        if self.chroma:
+            argc = arg[..., None] + self.chan_phase[idx][..., None, :]  # (H,W,K,3)
+            tex = self.base_rgb[idx] + jnp.einsum("hwkc,hwk->hwc",
+                                                  jnp.sin(argc), am)
+            rgb = jnp.clip(tex, 0.0, 1.0).transpose(2, 0, 1)[None]
+        else:
+            tex = self.base[idx] + jnp.einsum("hwk,hwk->hw", jnp.sin(arg), am)
+            tex = jnp.clip(tex, 0.0, 1.0)
+            rgb = jnp.stack([tex, tex, tex], axis=0)[None]
         depth = t_hit[None, None]
         return rgb, depth
 
@@ -286,15 +359,30 @@ class SyntheticDataset:
 
     scene="plane" is the easy single-plane world; scene="clutter" is the
     hard multi-object world with occlusions and depth discontinuities.
+    Variants (scene="<base>_<variant>"):
+      * "<base>_chroma": chromatic per-primitive textures (RGB channels
+        carry decorrelated gradient structure) -- clean photometry.
+      * "<base>_photo":  chroma + the PHOTO_NUISANCE preset (per-frame
+        exposure/bias jitter with known ground truth, sensor noise,
+        vignetting) -- the photometrically *real* worlds the reference
+        validates on by nature of its data (TUM auto-exposure,
+        reference data/RealsenseDataset.py:47-49).
+    An explicit `nuisance=PhotoNuisance(...)` overrides the preset.
     """
 
     def __init__(self, n_frames: int = 60, img_size=(192, 256), fps: float = 30.0,
                  seed: int = 0, step: float = 0.02, scene: str = "plane",
-                 rot_step: float | None = None):
-        if scene not in _SCENES:
+                 rot_step: float | None = None,
+                 nuisance: PhotoNuisance | None = None):
+        base, _, variant = scene.partition("_")
+        if base not in _SCENES or variant not in ("", "chroma", "photo"):
             raise ValueError(
-                f"unknown synthetic scene '{scene}' (have {sorted(_SCENES)})")
-        self.scene = _SCENES[scene](img_size=img_size, seed=seed)
+                f"unknown synthetic scene '{scene}' (have "
+                f"{sorted(_SCENES)} x ['', '_chroma', '_photo'])")
+        chroma = variant in ("chroma", "photo")
+        if nuisance is None and variant == "photo":
+            nuisance = PHOTO_NUISANCE
+        self.scene = _SCENES[base](img_size=img_size, seed=seed, chroma=chroma)
         traj_kwargs = {} if rot_step is None else {"rot_step": rot_step}
         self.poses = self.scene.trajectory(n_frames, step=step, **traj_kwargs)
         self.fps = fps
@@ -303,15 +391,45 @@ class SyntheticDataset:
         self.is_live = False
         self.save_traj_name = "synthetic"
 
+        self.nuisance = nuisance
+        if nuisance is not None:
+            rng = np.random.default_rng(seed + 77)
+            aff = np.zeros((n_frames, 2), np.float32)
+            for t in range(1, n_frames):
+                aff[t, 0] = (nuisance.ar_decay * aff[t - 1, 0]
+                             + nuisance.exposure_jitter * rng.normal())
+                aff[t, 1] = (nuisance.ar_decay * aff[t - 1, 1]
+                             + nuisance.bias_jitter * rng.normal())
+            self.gt_aff = aff
+            h, w = self.img_size
+            ys, xs = np.meshgrid(np.arange(h) - (h - 1) / 2,
+                                 np.arange(w) - (w - 1) / 2, indexing="ij")
+            r2 = (ys ** 2 + xs ** 2) / (((h - 1) / 2) ** 2 + ((w - 1) / 2) ** 2)
+            self._vmap = jnp.asarray(1.0 - nuisance.vignette * r2, jnp.float32)
+            self._noise_key = jax.random.PRNGKey(seed + 177)
+
     def __len__(self):
         return self.poses.shape[0]
 
     def __getitem__(self, idx):
         rgb, _ = self.scene.render(self.poses[idx])
+        if self.nuisance is not None:
+            rgb = _apply_nuisance(
+                rgb, jnp.float32(self.gt_aff[idx, 0]),
+                jnp.float32(self.gt_aff[idx, 1]), self._vmap,
+                jax.random.fold_in(self._noise_key, idx),
+                self.nuisance.noise_sigma)
         return idx / self.fps, rgb
 
     def gt_pose(self, idx):
         return self.poses[idx]
+
+    def gt_affine(self, idx):
+        """Ground-truth (log-gain, bias) applied to frame idx (zeros for
+        clean worlds)."""
+        if self.nuisance is None:
+            return np.zeros(2, np.float32)
+        return self.gt_aff[idx]
 
     def gt_depth(self, idx):
         _, d = self.scene.render(self.poses[idx])

@@ -169,7 +169,8 @@ def _dense_points(state: WindowState, sc, K_intr, dims: WindowDims):
 # photometric pair linearization
 
 def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
-           dims: WindowDims, axis_name=None, occl_thresh: float = 0.0):
+           dims: WindowDims, axis_name=None, occl_thresh: float = 0.0,
+           estimate_affine: bool = True):
     """Pair linearization.  Channel-generalized (dims.C): gray mapping is
     C=1; RGB mapping (reference Mapping.py:71-73,370-372, mapping.color:
     rgb) is C=3 with per-channel residual rows sharing the per-site
@@ -250,7 +251,15 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
     sigma = fast_mad_sigma(r.reshape(P, C * ND),
                            jnp.broadcast_to(valid_c, r.shape).reshape(P, C * ND),
                            axis_name=axis_name) + 1e-12
-    w = _huber_w(r / sigma) * valid_c / (sigma * sigma)  # (P, C, ND)
+    # 1/C: per-site channel AVERAGE, not sum.  The C channels of one dense
+    # site observe the same surface point (highly correlated residuals);
+    # counting them as C independent measurements would triple the
+    # photometric term's weight against the prior factors whose sigmas are
+    # tuned for gray, measurably hurting ATE on chromatic data (2-4x on
+    # the clutter_chroma/_photo worlds).  Averaging keeps the photometric
+    # <-> prior balance invariant to mapping.color while still letting
+    # every channel's gradient structure enter H.  No-op for C=1.
+    w = _huber_w(r / sigma) * valid_c / (sigma * sigma * C)  # (P, C, ND)
     photo_err = jnp.sum(w * r * r)
 
     # image gradient chain: dIt/dPcj = [gx, gy] @ dp/dPcj with
@@ -279,8 +288,18 @@ def _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid, K_intr,
     J_tj = -jnp.einsum("pcnj,pjl->pcnl", pre, Adj_j, precision=HIGH)
 
     one = jnp.ones_like(vals_scaled)
-    J8_i = jnp.concatenate([J_ti, vals_scaled[..., None], -one[..., None]], -1)
-    J8_j = jnp.concatenate([J_tj, -vals_scaled[..., None], one[..., None]], -1)
+    if not estimate_affine:
+        # affine ablation (config mapping.estimate_affine): zero affine
+        # columns -> the global solve's affine entries see only the
+        # diagonal damping, so every frame's affine delta is exactly zero
+        # and the states stay pinned at their initial zeros
+        vals_scaled_col, one_col = jnp.zeros_like(one), jnp.zeros_like(one)
+    else:
+        vals_scaled_col, one_col = vals_scaled, one
+    J8_i = jnp.concatenate([J_ti, vals_scaled_col[..., None],
+                            -one_col[..., None]], -1)
+    J8_j = jnp.concatenate([J_tj, -vals_scaled_col[..., None],
+                            one_col[..., None]], -1)
 
     # --- accumulate block grids --------------------------------------------
     Jw_i = J8_i * w[..., None]
@@ -330,7 +349,8 @@ def _gn_step_impl(state: WindowState, pairs_ref, pairs_tgt, pairs_valid,
     # scaffold already substituted reinit values for the bad entries.
     dn = _dense_points(state, sc, K_intr, dims)
     photo = _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid,
-                   K_intr, dims, occl_thresh=sigmas.occlusion_thresh)
+                   K_intr, dims, occl_thresh=sigmas.occlusion_thresh,
+                   estimate_affine=sigmas.estimate_affine)
     return _finish(state, sc, dn, photo, K_intr, dims, sigmas, damping)
 
 
@@ -525,7 +545,8 @@ def gn_system(state: WindowState, pairs_ref, pairs_tgt, pairs_valid, K_intr,
     state = state._replace(P_lm=sc["P_lm_new"])
     dn = _dense_points(state, sc, K_intr, dims)
     photo = _photo(state, sc, dn, pairs_ref, pairs_tgt, pairs_valid,
-                   K_intr, dims, occl_thresh=sigmas.occlusion_thresh)
+                   K_intr, dims, occl_thresh=sigmas.occlusion_thresh,
+                   estimate_affine=sigmas.estimate_affine)
     return _assemble(state, sc, dn, photo, K_intr, dims, sigmas)
 
 
@@ -619,6 +640,8 @@ class SigmaStatic(NamedTuple):
     lm_step_frac: float = 0.25
     # occlusion-aware photometric association (_photo; 0 disables)
     occlusion_thresh: float = 0.1
+    # affine ablation switch (config mapping.estimate_affine)
+    estimate_affine: bool = True
 
 
 def _prior_mode_weights(mode: str, first_mask, info_first: float,

@@ -77,6 +77,11 @@ def _level_solve(Tji, aff, lvl: TrackLevel, img_j, term):
         tmp = jnp.exp(-a) * I_t
         r = tmp + b - lvl.vals
         J = lvl.J_ic.at[:, 6].set(-tmp)
+        if not term.get("estimate_affine", True):
+            # affine ablation: zero affine columns -> g[6:] = 0 and (with
+            # the diagonal damping below) delta[6:] = 0 exactly, so aff
+            # stays at its initial zero
+            J = J.at[:, 6:].set(0.0)
 
         sigma = fast_mad_sigma(r, valid) + 1e-12
         wr = r / sigma
@@ -135,12 +140,13 @@ def track_pyramid(levels: Sequence[TrackLevel], img_pyr: Sequence[jax.Array],
 
 
 class TermStatic(NamedTuple):
-    """Hashable termination criteria (static arg to jit)."""
+    """Hashable termination criteria + solve switches (static arg to jit)."""
     max_iter: int
     delta_norm: float
     rel_tol: float
     grad_norm: float
     abs_tol: float = 0.0  # mean-squared-residual floor (0 = disabled)
+    estimate_affine: bool = True  # False: affine states pinned at zero
 
     def keys(self):
         return self._fields

@@ -346,7 +346,8 @@ class Mapping:
             pixel_mode=cfg.sigmas.pixel_mode,
             far_depth_ratio=cfg.sigmas.far_depth_ratio,
             lm_step_frac=cfg.sigmas.lm_step_frac,
-            occlusion_thresh=cfg.sigmas.occlusion_thresh)
+            occlusion_thresh=cfg.sigmas.occlusion_thresh,
+            estimate_affine=cfg.estimate_affine)
         self.corr_cfg = corr_mod.CorrStatic(
             corr_thresh=cfg.corr.corr_thresh, min_obs_depth=cfg.corr.min_obs_depth,
             logz_grad_mag_thresh=cfg.corr.logz_grad_mag_thresh,
@@ -365,6 +366,28 @@ class Mapping:
         self._last_stats = None
         self._prev_err = float("inf")
         self.damping = cfg.gn_damping
+
+        # multi-chip BA (cfg.mesh_devices >= 2): every GN step runs the
+        # shard_map'ed layout of parallel/sharded.py over an N-device mesh
+        self._sharded_step = None
+        if cfg.mesh_devices >= 2:
+            from como_tpu.parallel import sharded
+            n = cfg.mesh_devices
+            devs = jax.devices()
+            if len(devs) < n:
+                raise RuntimeError(
+                    f"mapping.mesh_devices={n} but only {len(devs)} JAX "
+                    f"devices are visible (for CPU testing set XLA_FLAGS="
+                    f"--xla_force_host_platform_device_count={n})")
+            if self.dims.P % n:
+                # round the static pair capacity up so the shard_map can
+                # split the batch evenly (extra slots are invalid pairs)
+                self.dims = self.dims._replace(
+                    P=((self.dims.P + n - 1) // n) * n)
+                self.state = win.empty_state(self.dims, dtype=self.dtype)
+            mesh = sharded.make_mesh(devs[:n])
+            self._sharded_step = sharded.make_sharded_gn_step(
+                mesh, self.dims, self.sigmas, cfg.gn_damping)
 
     # -- two-frame bootstrap ----------------------------------------------------
     def attempt_two_frame_init(self, timestamp, rgb) -> bool:
@@ -569,10 +592,18 @@ class Mapping:
         self._pairs = (jnp.array(pb.ref_kf), jnp.array(pb.target_slot),
                        jnp.array(pb.valid))
 
+    @property
+    def uses_mesh(self) -> bool:
+        return self._sharded_step is not None
+
     def iterate(self):
-        self.state, stats = gn_step_donating(self.state, *self._pairs, self.K,
-                                    self.dims, self.sigmas,
-                                    self.damping)
+        if self._sharded_step is not None:
+            self.state, stats = self._sharded_step(
+                self.state, *self._pairs, self.K, self.damping)
+        else:
+            self.state, stats = gn_step_donating(self.state, *self._pairs,
+                                                 self.K, self.dims,
+                                                 self.sigmas, self.damping)
         self.iter_count += 1
         self._last_stats = stats
         return stats

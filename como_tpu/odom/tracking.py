@@ -176,6 +176,7 @@ class Tracking:
             rel_tol=self.cfg.term_criteria.rel_tol,
             grad_norm=self.cfg.term_criteria.grad_norm,
             abs_tol=self.cfg.term_criteria.abs_tol,
+            estimate_affine=self.cfg.estimate_affine,
         )
         self._reset_rel_vars()
 

@@ -29,12 +29,16 @@ def anchor_grid(img_size, M):
 
 
 def make_demo_state(dims: win.WindowDims, num_kf: int = 3, num_ow: int = 2,
-                    seed: int = 0, step: float = 0.03):
+                    seed: int = 0, step: float = 0.03,
+                    scene_kwargs: dict | None = None, channels: int = 1):
     """WindowState with num_kf keyframes + num_ow one-way frames rendered
     from the synthetic plane scene at ground truth.  Returns
-    (state, pair arrays, intrinsics)."""
+    (state, pair arrays, intrinsics).  channels must match dims.C
+    (mapping.color: gray=1, rgb=3); scene_kwargs are forwarded to
+    PlaneScene (e.g. chroma=True)."""
+    assert channels == dims.C, (channels, dims.C)
     img_size = (dims.H, dims.W)
-    scene = PlaneScene(img_size=img_size, seed=seed)
+    scene = PlaneScene(img_size=img_size, seed=seed, **(scene_kwargs or {}))
     K_intr = scene.K
     M = dims.M
     st = win.empty_state(dims)
@@ -50,7 +54,7 @@ def make_demo_state(dims: win.WindowDims, num_kf: int = 3, num_ow: int = 2,
         pose = lie.se3_exp(jnp.array(xi))
         rgb, depth = scene.render(pose)
         cov = cov_params_from_rgb(rgb)
-        prep = prep_keyframe(rgb, cov, axy, K_intr, 1.0, 4)
+        prep = prep_keyframe(rgb, cov, axy, K_intr, 1.0, 4, C=channels)
         z = jax.vmap(lambda p: depth[0, 0, p[1].astype(int), p[0].astype(int)])(axy)
         logzm = jnp.log(z)
         ray = jnp.stack([(axy[:, 0] - K_intr[0, 2]) / K_intr[0, 0],
@@ -89,8 +93,8 @@ def make_demo_state(dims: win.WindowDims, num_kf: int = 3, num_ow: int = 2,
         xi[3] = step * (j + 0.5)
         pose = lie.se3_exp(jnp.array(xi))
         rgb, _ = scene.render(pose)
-        from como_tpu.ops import image as img_ops
-        iag = img_ops.img_and_grads(img_ops.rgb_to_gray(rgb))[0]
+        from como_tpu.odom.mapping import _prep_ow_img
+        iag = _prep_ow_img(rgb, channels)
         st = st._replace(
             ow_pose=st.ow_pose.at[j].set(pose),
             ow_valid=st.ow_valid.at[j].set(True),

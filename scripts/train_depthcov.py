@@ -44,19 +44,40 @@ from como_tpu.ops.coords import normalize_coords
 _SCENES = {}
 
 
-def synthetic_batch(key, img_size=(96, 128), pool: int = 8):
+def synthetic_batch(key, img_size=(96, 128), pool: int = 12):
     """Random view of a pooled synthetic scene (pooling keeps the jitted
     renderer cache bounded: <scene>.render is jitted per instance).
-    Alternates between the plane and the clutter world; clutter views
-    carry the depth discontinuities the kernels must learn to respect."""
+
+    The round-3 mix (VERDICT r2 #6: the round-2 50/50 plane/clutter mix
+    regressed the easy world 2.4x vs the analytic prior):
+      * plane AND clutter worlds (depth discontinuities -> anisotropy),
+      * homogeneous-surface variants (few, low-frequency waves: the net
+        must learn LARGE length scales where texture is smooth — this is
+        where round-2 training lost to the structure-tensor prior),
+      * chroma variants (the net input is RGB; gray x3 training alone
+        never exercises color channels).
+    """
     from como_tpu.data.synthetic import ClutterScene, PlaneScene
     from como_tpu.geometry import lie
 
     seed = int(jax.random.randint(key, (), 0, 1 << 20))
     sid = seed % pool
-    cls = PlaneScene if sid % 2 == 0 else ClutterScene
+    kind = sid % 6
     if (img_size, sid) not in _SCENES:
-        scene = cls(img_size=img_size, seed=sid)
+        if kind == 0:
+            scene = PlaneScene(img_size=img_size, seed=sid)
+        elif kind == 1:
+            scene = ClutterScene(img_size=img_size, seed=sid)
+        elif kind == 2:  # homogeneous: sparse, low-frequency texture
+            scene = PlaneScene(img_size=img_size, seed=sid, num_waves=6,
+                               max_freq=2.0)
+        elif kind == 3:
+            scene = PlaneScene(img_size=img_size, seed=sid, chroma=True)
+        elif kind == 4:
+            scene = ClutterScene(img_size=img_size, seed=sid, chroma=True)
+        else:            # near-textureless clutter (smooth surfaces + edges)
+            scene = ClutterScene(img_size=img_size, seed=sid, num_waves=6,
+                                 max_freq=2.0)
         views = np.array(scene.trajectory(48, step=0.04, seed=sid + 1))
         _SCENES[(img_size, sid)] = (scene, views)
     scene, views = _SCENES[(img_size, sid)]
@@ -193,6 +214,9 @@ def main():
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--img", type=int, nargs=2, default=[96, 128])
+    p.add_argument("--multires", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="every 3rd step at the 192x256 product resolution")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--out", default="models/depthcov.msgpack")
     args = p.parse_args()
@@ -219,12 +243,20 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # multi-resolution (VERDICT r2 #6): the product runs the net at
+    # 192x256; round-2 training saw only 96x128 (a feature-scale shift the
+    # fully-convolutional UNet does not automatically absorb).  Every 3rd
+    # step trains at the full product resolution (4x pixels; jit compiles
+    # once per shape).
+    sizes = [tuple(args.img)] * 2 + ([(192, 256)] if args.multires else
+                                     [tuple(args.img)])
     key = jax.random.PRNGKey(args.seed)
     host_rng = np.random.default_rng(args.seed)
     for step in range(args.steps):
         key, k1, k2 = jax.random.split(key, 3)
+        size = sizes[step % len(sizes)]
         if args.data == "synthetic":
-            rgb, depth = synthetic_batch(k1, tuple(args.img))
+            rgb, depth = synthetic_batch(k1, size)
         else:
             rgb, depth = folder.sample(host_rng)
         params, opt_state, loss = train_step(params, opt_state, rgb, depth, k2)
