@@ -40,6 +40,15 @@ def main(argv=None):
                    help="jsonl event-log path")
     args = p.parse_args(argv)
 
+    # honor JAX_PLATFORMS from the environment: this image's sitecustomize
+    # registers the TPU plugin at interpreter startup, so the env var alone
+    # does not stick (CLAUDE.md "CPU runs"); required e.g. for
+    # --config configs/mesh.yml on a forced-host-device CPU mesh
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from como_tpu.config import load_config
     from como_tpu.data.datasets import get_dataset
 

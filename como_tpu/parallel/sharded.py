@@ -43,7 +43,9 @@ def make_mesh(devices=None, axis: str = "ba") -> Mesh:
 def make_sharded_gn_step(mesh: Mesh, dims: WindowDims, sigmas,
                          damping: float = 1e-6, axis: str = "ba"):
     """Returns gn_step_sharded(state, pairs_ref, pairs_tgt, pairs_valid,
-    K_intr) with the photometric fan-out sharded over `axis`.
+    K_intr, damping=<ctor default>) with the photometric fan-out sharded
+    over `axis`.  damping is a runtime arg so the product's adaptive LM
+    damping (Mapping.should_iterate) works in mesh mode.
 
     Pair arrays must have length divisible by mesh size (pad with invalid
     pairs; dims.P already is for power-of-two meshes)."""
@@ -53,7 +55,8 @@ def make_sharded_gn_step(mesh: Mesh, dims: WindowDims, sigmas,
 
     def photo_local(state, sc, dn, pr, pt, pv, K_intr):
         out = gs._photo(state, sc, dn, pr, pt, pv, K_intr, dims,
-                        axis_name=axis, occl_thresh=sigmas.occlusion_thresh)
+                        axis_name=axis, occl_thresh=sigmas.occlusion_thresh,
+                        estimate_affine=sigmas.estimate_affine)
         return jax.tree.map(lambda x: jax.lax.psum(x, axis), out)
 
     photo_sharded = shard_map(
@@ -62,13 +65,18 @@ def make_sharded_gn_step(mesh: Mesh, dims: WindowDims, sigmas,
         out_specs=rep, check_vma=False,
     )
 
-    @partial(jax.jit, static_argnames=())
-    def step(state: WindowState, pairs_ref, pairs_tgt, pairs_valid, K_intr):
+    @jax.jit
+    def _step(state: WindowState, pairs_ref, pairs_tgt, pairs_valid, K_intr,
+              damp):
         sc = gs._scaffold(state, K_intr, dims, sigmas.far_depth_ratio)
         state = state._replace(P_lm=sc["P_lm_new"])
         dn = gs._dense_points(state, sc, K_intr, dims)
         photo = photo_sharded(state, sc, dn, pairs_ref, pairs_tgt,
                               pairs_valid, K_intr)
-        return gs._finish(state, sc, dn, photo, K_intr, dims, sigmas, damping)
+        return gs._finish(state, sc, dn, photo, K_intr, dims, sigmas, damp)
+
+    def step(state, pairs_ref, pairs_tgt, pairs_valid, K_intr,
+             damp=damping):
+        return _step(state, pairs_ref, pairs_tgt, pairs_valid, K_intr, damp)
 
     return step

@@ -44,6 +44,9 @@ class ComoPipeline:
         # TupleTensorQueue's transfer-on-push, multiprocessing.py:41-46)
         self.track_dev = resolve_device(cfg.tracking.device)
         self.map_dev = resolve_device(cfg.mapping.device)
+        if cfg.mapping.mesh_devices >= 2:
+            # mesh-sharded BA: run both stages uncommitted (see seq.py)
+            self.track_dev = self.map_dev = None
         with device_scope(self.track_dev):
             self.tracking = Tracking(cfg=cfg.tracking, intrinsics=intrinsics,
                                      img_size=tuple(img_size))

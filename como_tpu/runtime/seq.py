@@ -78,7 +78,15 @@ class ComoSeq:
         # via device_put (ICI on multi-core TPU).
         self.track_dev = resolve_device(cfg.tracking.device)
         self.map_dev = resolve_device(cfg.mapping.device)
-        self.split_devices = self.track_dev != self.map_dev
+        if cfg.mapping.mesh_devices >= 2:
+            # mesh-sharded BA: nothing may be committed to a single device
+            # (the shard_map program spans the mesh, and tracking outputs
+            # feed mapping insertions) — run both stages uncommitted and
+            # let jit place; per-stage device pinning composes with the
+            # pipeline runtime, not with mesh mode
+            self.track_dev = self.map_dev = None
+        self.split_devices = (self.track_dev != self.map_dev
+                              and self.map_dev is not None)
         with device_scope(self.track_dev):
             self.tracking = Tracking(cfg=cfg.tracking, intrinsics=intrinsics,
                                      img_size=tuple(img_size))
@@ -157,6 +165,12 @@ class ComoSeq:
                     timestamp, tree_device_put(rgb, self.track_dev)))
             with device_scope(self.map_dev):
                 m.maybe_iterate()
+        elif m.uses_mesh:
+            # multi-chip BA (mapping.mesh_devices): the GN step is a
+            # shard_map program over the mesh, dispatched separately from
+            # the (single-device) tracking program
+            self._pending.append(self.tracking.dispatch_frame(timestamp, rgb))
+            m.maybe_iterate()
         elif m.should_iterate():
             self._pending.append(self._dispatch_fused(timestamp, rgb))
         else:
