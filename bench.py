@@ -73,42 +73,77 @@ def main():
 
     dt_gn = time_fn(gn_once, state, warmup=2, iters=10)
 
+    # ---- enlarged-window / high-res BA stress (BASELINE.json configs[3]) ----
+    # GN-iteration latency at K=18/O=48 (double window) and at 384x512
+    # (4x pixels); min-of-N to reject tunnel load spikes.
+    stress = {}
+    for tag, skw in (("gn_k18_o48_192x256_ms",
+                      dict(num_kf=18, num_ow=48, fill_ow=16, hw=img_size)),
+                     ("gn_k9_o24_384x512_ms",
+                      dict(num_kf=9, num_ow=24, fill_ow=8, hw=(384, 512)))):
+        d_s = make_dims(num_kf=skw["num_kf"], num_ow=skw["num_ow"], M=64,
+                        img_size=skw["hw"])
+        st_s, pr_s, K_s = make_demo_state(d_s, num_kf=skw["num_kf"],
+                                          num_ow=skw["fill_ow"])
+
+        def gn_s(state, _pr=pr_s, _K=K_s, _d=d_s):
+            return gn_step(state, *_pr, _K, _d, sigmas, 1e-6)
+
+        ts_s = [time_fn(gn_s, st_s, warmup=1, iters=3) for _ in range(3)]
+        stress[tag] = round(1000.0 * min(ts_s), 2)
+        del st_s
+
     # ---- end-to-end SLAM: full size on the HARD synthetic world -------------
     # (192x256, 9 KF / 24 OW, 64 anchors on ClutterScene: occlusions + depth
     # discontinuities; exact GT.  Steady-state FPS after a 20-frame warmup +
     # scale-aligned ATE — the reference's whole-system validation path.)
+    # Seed-median over 3 seeds (single-seed ATE was seed-noise dominated
+    # round-over-round); dispatch_depth=2 is the measured configuration for
+    # remote-attached chips (decisions resolve 2 frames after dispatch,
+    # hiding the tunnel round trip; ATE vs depth 1 pinned unchanged by
+    # tests/test_e2e_clutter.py).
     from como_tpu.config import ComoConfig
     from como_tpu.data.synthetic import SyntheticDataset
     from como_tpu.runtime.seq import ComoSeq
     from como_tpu.utils.io import ate_rmse
 
-    cfg_e2e = ComoConfig()
-    cfg_e2e.img_size = list(img_size)
-    cfg_e2e.validate()
-    ds = SyntheticDataset(n_frames=110, img_size=img_size, seed=0, step=0.02,
-                          scene="clutter")
-    eng = ComoSeq(cfg_e2e, ds.intrinsics, img_size)
-    eng.setup()
-    t0 = time.perf_counter()
-    lat = []
-    for i in range(len(ds)):
-        ts_i, rgb_i = ds[i]
-        s = time.perf_counter()
-        eng.step(float(ts_i), rgb_i)
-        lat.append(time.perf_counter() - s)
-        if i == 20:
-            t0 = time.perf_counter()
-            lat = []
-    eng.finish()
-    e2e_fps = (len(ds) - 21) / (time.perf_counter() - t0)
-    lat_ms = np.array(lat) * 1e3
-    ts_arr = np.asarray(eng.timestamps)
-    est = np.stack([np.array(p) for p in eng.est_poses])
-    idx = (ts_arr * 30.0).round().astype(int)
-    gt = np.array(ds.poses)[idx]
-    e2e_ate = float(ate_rmse(est, gt, with_scale=True))
+    per_seed = []
+    for seed in (0, 1, 2):
+        cfg_e2e = ComoConfig()
+        cfg_e2e.img_size = list(img_size)
+        cfg_e2e.dispatch_depth = 2
+        cfg_e2e.dispatch_depth_max = 4  # adaptive: resolve on readiness
+        cfg_e2e.validate()
+        ds = SyntheticDataset(n_frames=110, img_size=img_size, seed=seed,
+                              step=0.02, scene="clutter")
+        eng = ComoSeq(cfg_e2e, ds.intrinsics, img_size)
+        eng.setup()
+        t0 = time.perf_counter()
+        lat = []
+        for i in range(len(ds)):
+            ts_i, rgb_i = ds[i]
+            s = time.perf_counter()
+            eng.step(float(ts_i), rgb_i)
+            lat.append(time.perf_counter() - s)
+            if i == 20:
+                t0 = time.perf_counter()
+                lat = []
+        eng.finish()
+        e2e_fps = (len(ds) - 21) / (time.perf_counter() - t0)
+        lat_ms = np.array(lat) * 1e3
+        ts_arr = np.asarray(eng.timestamps)
+        est = np.stack([np.array(p) for p in eng.est_poses])
+        idx = (ts_arr * 30.0).round().astype(int)
+        gt = np.array(ds.poses)[idx]
+        e2e_ate = float(ate_rmse(est, gt, with_scale=True))
+        per_seed.append(dict(seed=seed, fps=round(float(e2e_fps), 2),
+                             ate_cm=round(100.0 * e2e_ate, 3),
+                             median_ms=round(float(np.median(lat_ms)), 1),
+                             p90_ms=round(float(np.percentile(lat_ms, 90)), 1),
+                             frames_tracked=int(len(ts_arr))))
     path_len = float(np.sum(np.linalg.norm(
         np.diff(np.array(ds.poses)[:, :3, 3], axis=0), axis=-1)))
+    med = lambda k: float(np.median([r[k] for r in per_seed]))  # noqa: E731
 
     # headline: tracking FPS vs the 30 FPS real-time bar; report GN + e2e too
     result = {
@@ -119,13 +154,15 @@ def main():
         "extra": {
             "mapping_gn_iter_ms": round(1000.0 * dt_gn, 2),
             "gn_vs_50ms_budget": round(0.05 / dt_gn, 3),
-            "e2e_fps": round(float(e2e_fps), 2),
-            "e2e_median_ms": round(float(np.median(lat_ms)), 1),
-            "e2e_p90_ms": round(float(np.percentile(lat_ms, 90)), 1),
-            "e2e_ate_cm": round(100.0 * e2e_ate, 3),
+            "stress": stress,
+            "e2e_fps": round(med("fps"), 2),
+            "e2e_median_ms": round(med("median_ms"), 1),
+            "e2e_p90_ms": round(med("p90_ms"), 1),
+            "e2e_ate_cm": round(med("ate_cm"), 3),
+            "e2e_per_seed": per_seed,
+            "e2e_dispatch_depth": 2,
             "e2e_world": "clutter 192x256, 9KF/24OW, 64 anchors, "
-                         f"{len(ds)} frames, {path_len:.2f} m path",
-            "e2e_frames_tracked": int(len(ts_arr)),
+                         f"110 frames, {path_len:.2f} m path, seed-median of 3",
             "device": str(jax.devices()[0]),
         },
     }

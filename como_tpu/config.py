@@ -182,11 +182,21 @@ class ComoConfig:
     # of decisions landing that many frames later.  1 = the reference's
     # decide-immediately behavior, one frame late.
     dispatch_depth: int = 1
+    # adaptive decision lag (0 = off): resolve a dispatched frame as soon
+    # as its decision stats are device-ready (jax.Array.is_ready), never
+    # blocking the host; a frame is force-resolved at this depth.  Decision
+    # *timing* then depends on transport latency (trajectories can vary
+    # across runs on a loaded tunnel) — keep 0 where bitwise run-to-run
+    # determinism matters; the remote-attached benchmark uses 4.
+    dispatch_depth_max: int = 0
     tracking: TrackingConfig = field(default_factory=TrackingConfig)
     mapping: MappingConfig = field(default_factory=MappingConfig)
 
     def validate(self) -> "ComoConfig":
         assert 1 <= self.dispatch_depth <= 8, "dispatch_depth in [1, 8]"
+        assert self.dispatch_depth_max == 0 or \
+            self.dispatch_depth <= self.dispatch_depth_max <= 8, \
+            "dispatch_depth_max in {0} | [dispatch_depth, 8]"
         assert self.tracking.pyr.start_level >= 0
         assert self.tracking.pyr.end_level > self.tracking.pyr.start_level
         assert self.mapping.graph.num_keyframes >= 2

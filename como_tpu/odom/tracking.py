@@ -135,12 +135,20 @@ def predict_const_velocity(T_prev, T_curr):
 @jax.jit
 def rebase_to_new_kf(T_w_kf_old, T_curr_kf, aff_w_kf_old, aff_curr_kf,
                      new_pose, new_aff):
-    """Re-express current-frame-relative pose/affine against a new KF."""
+    """Re-express current-frame-relative pose/affine against a new KF.
+
+    Non-finite inputs (a diverged dispatched-but-undecided frame) are
+    sanitized to identity ON DEVICE: checking finiteness on the host
+    would block on the whole dispatch queue — measured 42 ms median per
+    reference refresh on the remote-attached chip."""
     T_w_f = transforms.get_T_w_curr(T_w_kf_old[None], T_curr_kf[None])[0]
     T_rel = transforms.get_rel_pose(T_w_f, new_pose)
     aff_w_f = affine.get_aff_w_curr(aff_w_kf_old[None, :, None],
                                     aff_curr_kf[None, :, None])
     aff_rel = affine.get_rel_aff(aff_w_f, new_aff[None, :, None])[0, :, 0]
+    ok = jnp.all(jnp.isfinite(T_rel)) & jnp.all(jnp.isfinite(aff_rel))
+    T_rel = jnp.where(ok, T_rel, jnp.eye(4, dtype=T_rel.dtype))
+    aff_rel = jnp.where(ok, aff_rel, jnp.zeros_like(aff_rel))
     return T_rel, aff_rel
 
 
@@ -212,11 +220,9 @@ class Tracking:
         self.aff_w_kf = aff[-1]
         # _last_good was expressed w.r.t. the previous KF; after a rebase
         # it is stale in the wrong frame for re-lock.  Re-seed it from the
-        # rebased estimate if finite, else reset to identity so a loss
-        # right after a KF change can still re-lock (a non-finite
-        # T_curr_kf here means tracking was lost with nothing finite yet).
-        if not np.all(np.isfinite(np.asarray(self.T_curr_kf))):
-            self._reset_rel_vars()
+        # rebased estimate (rebase_to_new_kf sanitizes non-finite inputs
+        # to identity on device — no host sync here; decide()'s lost
+        # branch re-validates finiteness before restoring).
         self._last_good = (self.T_curr_kf, self.aff_curr_kf)
 
     # -- per-frame, async split ----------------------------------------------
@@ -269,12 +275,16 @@ class Tracking:
             # frames can re-lock onto the KF reference, and never emit a
             # non-finite pose (SURVEY 5.3: fail soft, no supervision crash)
             pending["lost"] = True
-            if self._last_good is not None:
+            if (self._last_good is not None
+                    and bool(np.all(np.isfinite(np.asarray(
+                        self._last_good[0]))))):
+                # blocking finiteness check is fine HERE: the lost branch
+                # is rare and stats were already synced above
                 self.T_curr_kf, self.aff_curr_kf = self._last_good
             else:
-                # lost before any finite decide: identity w.r.t. the KF is
-                # the only safe re-lock seed (T_curr_kf is NaN from the
-                # diverged dispatch)
+                # lost before any finite decide (or _last_good was seeded
+                # from a diverged undecided dispatch at a period refresh):
+                # identity w.r.t. the KF is the only safe re-lock seed
                 self._reset_rel_vars()
             self._T_prev = None
             return None
@@ -287,13 +297,21 @@ class Tracking:
 
         frame_kind = None
         kcfg = self.cfg.keyframing
-        if self.last_kf_sent_ts <= self.kf_received_ts:
+        # Gate on the reference timestamp AT DISPATCH (the pending
+        # snapshot), not the tracker's current one: with dispatch_depth
+        # >= 2 a frame tracked against the PREVIOUS keyframe resolves
+        # after the new KF already landed, and its stale stats (large
+        # kf_dist w.r.t. the old reference) must not retrigger a
+        # keyframe (measured: depth-2 clutter runs inserted 9 KFs
+        # instead of 5, ATE 11.9 cm vs 9.2 cm).
+        ref_ts = pending["kf_received_ts"]
+        if self.last_kf_sent_ts <= ref_ts:
             if (kf_dist > kcfg.kf_depth_motion_ratio * median_depth
                     or kcfg.kf_num_pixels_frac > num_reproj / num_kf_pixels):
                 frame_kind = "keyframe"
                 self.last_kf_sent_ts = timestamp
         if frame_kind is None:
-            extra = 1 if self.last_kf_sent_ts > self.kf_received_ts else 0
+            extra = 1 if self.last_kf_sent_ts > ref_ts else 0
             thresh_scale = (1.0 + self.num_one_way_since_kf + extra) / (1.0 + kcfg.one_way_freq)
             dist_thresh = kcfg.kf_depth_motion_ratio * median_depth
             pixel_thresh = (1.0 - kcfg.kf_num_pixels_frac) * num_kf_pixels

@@ -99,7 +99,21 @@ class ComoSeq:
         self._last_ref_ts = -1e9
         self._pending: List = []
         self.decision_lag = cfg.dispatch_depth  # dispatch depth before deciding
+        # adaptive lag: past decision_lag, only resolve frames whose stats
+        # are device-ready (no host blocking) until max_lag forces it
+        self.max_lag = cfg.dispatch_depth_max or cfg.dispatch_depth
         self.log = EventLog()
+
+    @property
+    def log(self) -> EventLog:
+        return self._log
+
+    @log.setter
+    def log(self, value: EventLog):
+        # propagate to mapping so backend events (lm_damping adaptation)
+        # land in the same jsonl stream the CLI attaches post-setup
+        self._log = value
+        self.mapping.log = value
 
     def setup(self):
         self.log.emit("setup", name=self.cfg.name,
@@ -110,7 +124,17 @@ class ComoSeq:
             self.mapping.setup()
 
     def _resolve_one(self):
-        """Decide + record the oldest dispatched frame."""
+        """Decide + record the oldest dispatched frame.
+
+        Note on insertion ordering: a deferred finalize (insertion
+        completing only after the next frame's dispatch) was measured and
+        REJECTED — the keyframe becomes the tracking reference one frame
+        later, and the stale-reference stats of in-flight frames retrigger
+        keyframes (clutter seed 0: 9 KFs instead of 5, ATE 12.2 cm vs
+        9.2 cm).  add_keyframe still runs as dispatch+finalize phases so
+        the finalize's host reads ride the async D2H copies started at
+        dispatch (one round trip saved per insertion), but both phases
+        complete here, before the reference refresh."""
         m = self.mapping
         p = self._pending.pop(0)
         track_map = self.tracking.decide(p)
@@ -133,6 +157,15 @@ class ComoSeq:
                           num_kf=m.num_kf, num_ow=m.num_ow)
         return kf_inserted
 
+    def _should_resolve(self) -> bool:
+        n = len(self._pending)
+        if n >= self.max_lag:
+            return True
+        if n < self.decision_lag:
+            return False
+        s = self._pending[0].get("stats")
+        return not hasattr(s, "is_ready") or s.is_ready()
+
     def step(self, timestamp: float, rgb):
         """Process one frame; returns the latest world pose estimate
         (device array) or None before initialization."""
@@ -152,7 +185,7 @@ class ComoSeq:
             return None
 
         kf_inserted = False
-        while len(self._pending) >= self.decision_lag:
+        while self._should_resolve():
             kf_inserted |= self._resolve_one()
         if kf_inserted or (timestamp - self._last_ref_ts > self.ref_period):
             self._refresh_reference(timestamp)

@@ -24,6 +24,8 @@ def main():
     p.add_argument("--warmup", type=int, default=30)
     p.add_argument("--lag", type=int, default=None,
                    help="override engine decision_lag (dispatch depth)")
+    p.add_argument("--maxlag", type=int, default=None,
+                   help="override engine max_lag (adaptive resolve bound)")
     p.add_argument("--prerender", action="store_true",
                    help="render all frames to host numpy before the loop")
     args = p.parse_args()
@@ -47,6 +49,9 @@ def main():
     eng.setup()
     if args.lag is not None:
         eng.decision_lag = args.lag
+        eng.max_lag = max(eng.max_lag, args.lag)
+    if args.maxlag is not None:
+        eng.max_lag = args.maxlag
     frames = None
     if args.prerender:
         frames = [(float(t), np.asarray(r))

@@ -25,6 +25,8 @@ def main():
     p.add_argument("--prior", default=None, choices=[None, "analytic", "unet"])
     p.add_argument("--lag", type=int, default=None,
                    help="dispatch depth (cfg.dispatch_depth)")
+    p.add_argument("--maxlag", type=int, default=None,
+                   help="adaptive resolve bound (cfg.dispatch_depth_max)")
     p.add_argument("--model", default=None,
                    help="msgpack UNet weights (with --prior unet)")
     args = p.parse_args()
@@ -47,6 +49,8 @@ def main():
         cfg.mapping.model_path = args.model
     if args.lag is not None:
         cfg.dispatch_depth = args.lag
+    if args.maxlag is not None:
+        cfg.dispatch_depth_max = args.maxlag
     cfg.validate()
     ds = SyntheticDataset(n_frames=args.frames, img_size=IMG, seed=args.seed,
                           step=args.step, scene=args.scene)

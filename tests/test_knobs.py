@@ -214,10 +214,13 @@ def test_lm_damping_adaptation_fires():
     from como_tpu.odom.backend.gn_step import GNStats
     from como_tpu.odom.mapping import Mapping
 
+    from como_tpu.utils.log import EventLog
+
     cfg = small_config().mapping
     m = Mapping(cfg, np.eye(3, dtype=np.float32), IMG)
     m.setup()
     m.is_init = True
+    m.log = EventLog()
 
     def stats(err):
         return GNStats(total_err=jnp.float32(err), photo_err=jnp.float32(err),
@@ -235,3 +238,10 @@ def test_lm_damping_adaptation_fires():
         m._last_stats = stats(50.0 / (k + 1))
         m.should_iterate()
     assert m.damping == pytest.approx(cfg.gn_damping)
+
+    # every actual damping change emitted an lm_damping event (long runs
+    # tabulate the adaptation from the jsonl stream)
+    evs = [e for e in m.log.ring if e["kind"] == "lm_damping"]
+    assert len(evs) >= 2
+    assert evs[0]["action"] == "raise" and evs[-1]["action"] == "relax"
+    assert all({"damping", "err", "iter"} <= set(e) for e in evs)

@@ -123,3 +123,32 @@ def test_dispatch_depth_matches_depth1():
         idx = (np.asarray(ts) * 30.0).round().astype(int)
         ates[depth] = ate_rmse(est, np.array(ds.poses)[idx], with_scale=True)
     assert ates[2] < max(2.5 * ates[1], 0.02), ates
+
+
+def test_adaptive_dispatch_depth():
+    """dispatch_depth_max > dispatch_depth resolves frames as their stats
+    become device-ready (never blocking past decision_lag) and must still
+    produce a finite, close trajectory; all frames are accounted for."""
+    from como_tpu.config import ComoConfig
+    from como_tpu.data.synthetic import SyntheticDataset
+    from como_tpu.runtime.seq import ComoSeq
+    from como_tpu.utils.io import ate_rmse
+
+    IMG = (48, 64)
+    cfg = ComoConfig()
+    cfg.img_size = list(IMG)
+    cfg.dispatch_depth = 2
+    cfg.dispatch_depth_max = 4
+    cfg.mapping.graph.num_keyframes = 4
+    cfg.mapping.graph.num_one_way_frames = 4
+    cfg.mapping.sampling.max_num_coords = 16
+    cfg.mapping.sampling.border = 2
+    cfg.validate()
+    ds = SyntheticDataset(n_frames=25, img_size=IMG, seed=0, step=0.02)
+    eng = ComoSeq(cfg, ds.intrinsics, IMG)
+    eng.setup()
+    ts, est = eng.run(ds)
+    assert len(ts) >= 20 and np.all(np.isfinite(est))
+    idx = (np.asarray(ts) * 30.0).round().astype(int)
+    ate = ate_rmse(est, np.array(ds.poses)[idx], with_scale=True)
+    assert ate < 0.05, ate
