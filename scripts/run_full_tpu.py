@@ -20,7 +20,9 @@ def main():
     p.add_argument("--img", type=int, nargs=2, default=[192, 256])
     p.add_argument("--runtime", default="seq", choices=["seq", "pipeline"])
     p.add_argument("--step", type=float, default=0.012)
-    p.add_argument("--scene", default="plane", choices=["plane", "clutter"])
+    p.add_argument("--scene", default="plane",
+                   choices=["plane", "clutter", "plane_chroma", "plane_photo",
+                            "clutter_chroma", "clutter_photo"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--prior", default=None, choices=[None, "analytic", "unet"])
     p.add_argument("--lag", type=int, default=None,
@@ -29,6 +31,7 @@ def main():
                    help="adaptive resolve bound (cfg.dispatch_depth_max)")
     p.add_argument("--model", default=None,
                    help="msgpack UNet weights (with --prior unet)")
+    p.add_argument("--log", default=None, help="jsonl event-log path")
     args = p.parse_args()
 
     import jax
@@ -61,6 +64,9 @@ def main():
         from como_tpu.runtime.pipeline import ComoPipeline as Engine
     eng = Engine(cfg, ds.intrinsics, IMG)
     eng.setup()
+    if args.log:
+        from como_tpu.utils.log import EventLog
+        eng.log = EventLog(args.log)
 
     print(f"device: {jax.devices()[0]}  frames: {len(ds)}  img: {IMG}")
     t_compile0 = time.perf_counter()
