@@ -35,11 +35,14 @@ def run_cell(scene, seed, prior, model, frames, img):
     cfg.validate()
     ds = SyntheticDataset(n_frames=frames, img_size=img, seed=seed,
                           step=0.012, scene=scene)
+    # pre-render off the clock: ds[i] is ~12 ms/frame of host ray-casting
+    # (input acquisition, not SLAM compute — the reference streams stored
+    # dataset files); FPS cells measure the engine, matching bench.py
+    prerendered = [ds[i] for i in range(len(ds))]
     eng = ComoSeq(cfg, ds.intrinsics, img)
     eng.setup()
     t0 = time.perf_counter()
-    for i in range(len(ds)):
-        ts, rgb = ds[i]
+    for i, (ts, rgb) in enumerate(prerendered):
         eng.step(float(ts), rgb)
         if i == 20:
             t0 = time.perf_counter()
