@@ -110,8 +110,8 @@ class ComoSeq:
 
     @log.setter
     def log(self, value: EventLog):
-        # propagate to mapping so backend events (lm_damping adaptation)
-        # land in the same jsonl stream the CLI attaches post-setup
+        # propagate to mapping so backend events land in the same jsonl
+        # stream the CLI attaches post-setup
         self._log = value
         self.mapping.log = value
 

@@ -204,44 +204,29 @@ def test_rgb_mapping_matches_gray_on_grayscale_world():
 
 
 # ---------------------------------------------------------------------------
-# Levenberg-Marquardt damping adaptation (gn_damping; beyond-reference)
+# GN damping is a static constant (the round-3 LM adaptation was deleted:
+# instrumented over 2x 400-frame full-size TPU runs it fired zero times,
+# and any change to the float would retrace the fused frame program)
 
-def test_lm_damping_adaptation_fires():
-    """The adaptive damping must actually move in both directions: up
-    when the robust cost increased, back toward the configured floor
-    when it decreases (mapping.should_iterate)."""
+def test_gn_damping_is_static():
     import jax.numpy as jnp
     from como_tpu.odom.backend.gn_step import GNStats
     from como_tpu.odom.mapping import Mapping
-
-    from como_tpu.utils.log import EventLog
 
     cfg = small_config().mapping
     m = Mapping(cfg, np.eye(3, dtype=np.float32), IMG)
     m.setup()
     m.is_init = True
-    m.log = EventLog()
 
     def stats(err):
         return GNStats(total_err=jnp.float32(err), photo_err=jnp.float32(err),
                        delta_norm=jnp.float32(1.0), grad_norm=jnp.float32(1e9))
 
-    # cost went UP -> damping multiplies (checked every 4th iteration)
-    m.iter_count, m._prev_err, m._last_stats = 4, 1.0, stats(100.0)
     d0 = m.damping
-    assert m.should_iterate()
-    assert m.damping == pytest.approx(5.0 * d0)
-
-    # cost keeps going DOWN -> damping decays back to the configured floor
-    for k in range(6):
-        m.iter_count = 4 * (k + 2)
-        m._last_stats = stats(50.0 / (k + 1))
+    # cost up, cost down — damping must never move (a changed value would
+    # be traced as a new constant -> full recompile of the frame program)
+    for it, err in [(4, 100.0), (8, 50.0), (12, 25.0), (16, 400.0)]:
+        m.iter_count, m._last_stats = it, stats(err)
         m.should_iterate()
-    assert m.damping == pytest.approx(cfg.gn_damping)
-
-    # every actual damping change emitted an lm_damping event (long runs
-    # tabulate the adaptation from the jsonl stream)
-    evs = [e for e in m.log.ring if e["kind"] == "lm_damping"]
-    assert len(evs) >= 2
-    assert evs[0]["action"] == "raise" and evs[-1]["action"] == "relax"
-    assert all({"damping", "err", "iter"} <= set(e) for e in evs)
+        assert m.damping == d0
+    assert d0 == cfg.gn_damping
