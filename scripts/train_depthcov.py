@@ -243,6 +243,49 @@ def main():
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # EMA + held-out validation selection (round-3 lesson: the GP loss is
+    # spiky — near-singular K_mm draws — and saving whatever params the
+    # final step left produced a checkpoint strictly worse e2e than the
+    # round-2 one; select the best EMA snapshot on held-out worlds instead)
+    ema_decay = 0.999
+
+    @jax.jit
+    def ema_update(ema, params):
+        return jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, params)
+
+    val_loss = jax.jit(loss_fn)
+
+    def make_val_set():
+        """Held-out scene instances (seeds outside the training pool), one
+        per world family, at both train and product resolution."""
+        out = []
+        if args.data != "synthetic":
+            return out
+        from como_tpu.data.synthetic import ClutterScene, PlaneScene
+        for size in [tuple(args.img), (192, 256)]:
+            for name, scene in [
+                ("plane", PlaneScene(img_size=size, seed=101)),
+                ("clutter", ClutterScene(img_size=size, seed=102)),
+                ("plane_hom", PlaneScene(img_size=size, seed=103,
+                                         num_waves=6, max_freq=2.0)),
+            ]:
+                views = np.array(scene.trajectory(4, step=0.04, seed=7))
+                for v in views[:2]:
+                    rgb_v, depth_v = scene.render(jnp.array(v))
+                    out.append((name, rgb_v, depth_v))
+        return out
+
+    def validate(p, val_set, key):
+        """Mean loss per world family, equally weighted (the round-2
+        checkpoint won clutter but lost plane 2.4x — selection must not
+        trade one for the other)."""
+        per = {}
+        for name, rgb_v, depth_v in val_set:
+            per.setdefault(name, []).append(
+                float(val_loss(p, rgb_v, depth_v, key)))
+        return sum(np.mean(v) for v in per.values()) / len(per), per
+
     # multi-resolution (VERDICT r2 #6): the product runs the net at
     # 192x256; round-2 training saw only 96x128 (a feature-scale shift the
     # fully-convolutional UNet does not automatically absorb).  Every 3rd
@@ -252,6 +295,10 @@ def main():
                                      [tuple(args.img)])
     key = jax.random.PRNGKey(args.seed)
     host_rng = np.random.default_rng(args.seed)
+    ema = params
+    val_set = make_val_set()
+    val_key = jax.random.PRNGKey(9999)  # fixed draws: scores comparable
+    best_score, best_params = float("inf"), None
     for step in range(args.steps):
         key, k1, k2 = jax.random.split(key, 3)
         size = sizes[step % len(sizes)]
@@ -260,12 +307,21 @@ def main():
         else:
             rgb, depth = folder.sample(host_rng)
         params, opt_state, loss = train_step(params, opt_state, rgb, depth, k2)
+        ema = ema_update(ema, params)
         if step % 50 == 0:
             print(f"step {step}: loss {float(loss):.4f}", flush=True)
+        if val_set and (step + 1) % 250 == 0:
+            score, per = validate(ema, val_set, val_key)
+            tag = " ".join(f"{k}={np.mean(v):.3f}" for k, v in per.items())
+            print(f"step {step}: val {score:.4f} ({tag})", flush=True)
+            if score < best_score:
+                best_score, best_params = score, jax.tree.map(
+                    lambda x: np.array(x), ema)
+                print(f"  new best (val {score:.4f})", flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    save_params(params, args.out)
-    print(f"saved -> {args.out}")
+    save_params(best_params if best_params is not None else params, args.out)
+    print(f"saved -> {args.out} (best val {best_score:.4f})")
 
 
 if __name__ == "__main__":
