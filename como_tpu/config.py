@@ -189,6 +189,17 @@ class ComoConfig:
     # across runs on a loaded tunnel) — keep 0 where bitwise run-to-run
     # determinism matters; the remote-attached benchmark uses 4.
     dispatch_depth_max: int = 0
+    # deterministic sync batching: resolve the keyframe/one-way decisions
+    # of `resolve_stride` dispatched frames in ONE burst every stride-th
+    # frame (runtime/seq.py).  The per-frame floor on a remote-attached
+    # TPU is the decision-stats D2H sync (~33 ms of a ~39 ms frame,
+    # profiled); one blocking read per burst amortizes it over stride
+    # frames while the async prefetch lands the rest.  Decisions inside a
+    # burst resolve at depths [dispatch_depth, dispatch_depth+stride-1] —
+    # a FIXED cadence, so trajectories stay run-to-run deterministic
+    # (unlike dispatch_depth_max, which times decisions by transport
+    # load).  1 = off (the reference's decide-every-frame behavior).
+    resolve_stride: int = 1
     tracking: TrackingConfig = field(default_factory=TrackingConfig)
     mapping: MappingConfig = field(default_factory=MappingConfig)
 
@@ -197,6 +208,10 @@ class ComoConfig:
         assert self.dispatch_depth_max == 0 or \
             self.dispatch_depth <= self.dispatch_depth_max <= 8, \
             "dispatch_depth_max in {0} | [dispatch_depth, 8]"
+        assert 1 <= self.resolve_stride <= 4, "resolve_stride in [1, 4]"
+        assert self.resolve_stride == 1 or self.dispatch_depth_max == 0, \
+            "resolve_stride > 1 is the deterministic alternative to " \
+            "dispatch_depth_max; set only one"
         assert self.tracking.pyr.start_level >= 0
         assert self.tracking.pyr.end_level > self.tracking.pyr.start_level
         assert self.mapping.graph.num_keyframes >= 2

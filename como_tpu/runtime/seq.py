@@ -102,6 +102,12 @@ class ComoSeq:
         # adaptive lag: past decision_lag, only resolve frames whose stats
         # are device-ready (no host blocking) until max_lag forces it
         self.max_lag = cfg.dispatch_depth_max or cfg.dispatch_depth
+        # deterministic burst resolution (cfg.resolve_stride): one blocking
+        # sync resolves `stride` frames every stride-th frame, amortizing
+        # the per-frame decision-stats round trip (the profiled frame-loop
+        # floor on a remote-attached chip)
+        self.resolve_stride = cfg.resolve_stride
+        self._draining = False
         self.log = EventLog()
 
     @property
@@ -159,6 +165,19 @@ class ComoSeq:
 
     def _should_resolve(self) -> bool:
         n = len(self._pending)
+        if self.resolve_stride > 1:
+            # burst mode: once `stride` frames are pending past the
+            # decision lag, drain all of them — the first decide() blocks
+            # one round trip, the rest read stats whose async D2H copies
+            # landed during that block (prefetch_decision).  Frames thus
+            # resolve at fixed depths [lag, lag+stride-1]: deterministic,
+            # no readiness checks.
+            if n >= self.decision_lag + self.resolve_stride - 1:
+                self._draining = True
+            if self._draining and n >= self.decision_lag:
+                return True
+            self._draining = False
+            return False
         if n >= self.max_lag:
             return True
         if n < self.decision_lag:

@@ -29,6 +29,8 @@ def main():
                    help="dispatch depth (cfg.dispatch_depth)")
     p.add_argument("--maxlag", type=int, default=None,
                    help="adaptive resolve bound (cfg.dispatch_depth_max)")
+    p.add_argument("--stride", type=int, default=None,
+                   help="burst decision resolution (cfg.resolve_stride)")
     p.add_argument("--model", default=None,
                    help="msgpack UNet weights (with --prior unet)")
     p.add_argument("--log", default=None, help="jsonl event-log path")
@@ -54,6 +56,8 @@ def main():
         cfg.dispatch_depth = args.lag
     if args.maxlag is not None:
         cfg.dispatch_depth_max = args.maxlag
+    if args.stride is not None:
+        cfg.resolve_stride = args.stride
     cfg.validate()
     ds = SyntheticDataset(n_frames=args.frames, img_size=IMG, seed=args.seed,
                           step=args.step, scene=args.scene)

@@ -125,6 +125,55 @@ def test_dispatch_depth_matches_depth1():
     assert ates[2] < max(2.5 * ates[1], 0.02), ates
 
 
+def test_resolve_stride_matches_stride1():
+    """cfg.resolve_stride batches decision resolution: one burst resolves
+    `stride` pending frames every stride-th frame (amortizing the
+    per-frame decision-stats sync, the profiled frame-loop floor on a
+    remote-attached TPU).  Decisions land at fixed alternating depths, so
+    the trajectory must stay close to stride 1 AND be bitwise identical
+    across repeat runs (the determinism dispatch_depth_max lacks)."""
+    from como_tpu.config import ComoConfig
+    from como_tpu.data.synthetic import SyntheticDataset
+    from como_tpu.runtime.seq import ComoSeq
+    from como_tpu.utils.io import ate_rmse
+
+    IMG = (48, 64)
+
+    def run(stride):
+        cfg = ComoConfig()
+        cfg.img_size = list(IMG)
+        cfg.dispatch_depth = 2
+        cfg.resolve_stride = stride
+        cfg.mapping.graph.num_keyframes = 4
+        cfg.mapping.graph.num_one_way_frames = 4
+        cfg.mapping.sampling.max_num_coords = 16
+        cfg.mapping.sampling.border = 2
+        cfg.validate()
+        ds = SyntheticDataset(n_frames=25, img_size=IMG, seed=0, step=0.02)
+        eng = ComoSeq(cfg, ds.intrinsics, IMG)
+        eng.setup()
+        ts, est = eng.run(ds)
+        assert np.all(np.isfinite(est))
+        idx = (np.asarray(ts) * 30.0).round().astype(int)
+        return est, ate_rmse(est, np.array(ds.poses)[idx], with_scale=True)
+
+    est1, ate1 = run(1)
+    est2, ate2 = run(2)
+    est2b, ate2b = run(2)
+    np.testing.assert_array_equal(est2, est2b)  # deterministic by design
+    assert ate2 < max(2.5 * ate1, 0.02), (ate1, ate2)
+
+
+def test_resolve_stride_excludes_adaptive():
+    from como_tpu.config import ComoConfig
+    cfg = ComoConfig()
+    cfg.dispatch_depth = 2
+    cfg.dispatch_depth_max = 4
+    cfg.resolve_stride = 2
+    with pytest.raises(AssertionError):
+        cfg.validate()
+
+
 def test_adaptive_dispatch_depth():
     """dispatch_depth_max > dispatch_depth resolves frames as their stats
     become device-ready (never blocking past decision_lag) and must still
