@@ -123,6 +123,15 @@ def test_sharded_matches_single_stress_dims():
     from como_tpu.odom.window import make_dims
     from como_tpu.utils.demo import make_demo_state
 
+    # The double-window full-res problem is the largest allocation in the
+    # suite, and it runs late: drop every compiled executable (and its
+    # buffer pools) accumulated by the preceding ~140 tests first — the
+    # full-suite run otherwise aborts in the XLA:CPU allocator on the
+    # 1-core host while the test passes solo.
+    import gc
+    jax.clear_caches()
+    gc.collect()
+
     dims = make_dims(num_kf=18, num_ow=48, M=64, img_size=(192, 256))
     n_dev = len(jax.devices())
     if dims.P % n_dev:
