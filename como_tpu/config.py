@@ -187,7 +187,8 @@ class ComoConfig:
     # blocking the host; a frame is force-resolved at this depth.  Decision
     # *timing* then depends on transport latency (trajectories can vary
     # across runs on a loaded tunnel) — keep 0 where bitwise run-to-run
-    # determinism matters; the remote-attached benchmark uses 4.
+    # determinism matters (the benchmark uses fixed dispatch_depth 2
+    # with this off; resolve_stride is the deterministic alternative).
     dispatch_depth_max: int = 0
     # deterministic sync batching: resolve the keyframe/one-way decisions
     # of `resolve_stride` dispatched frames in ONE burst every stride-th
