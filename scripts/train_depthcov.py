@@ -158,7 +158,7 @@ class RgbdFolder:
         return rgb_j, jnp.array(depth[None, None])
 
 
-def make_loss(model, M=64, n_test=1024):
+def make_loss(model, M=64, n_test=1024, nll_weight=0.1):
     def loss_fn(params, rgb, depth, key):
         H, W = rgb.shape[-2:]
         x = jnp.transpose(rgb, (0, 2, 3, 1))
@@ -201,7 +201,7 @@ def make_loss(model, M=64, n_test=1024):
         # variance calibration: posterior var should track squared error
         var = jnp.maximum(K_nn - jnp.sum(K_nm * pred.Knm_Kmminv, -1), 1e-6)
         nll = jnp.sum(wn * (jnp.square(pred_n - lz_n) / var + jnp.log(var))) / denom
-        return mse + 0.1 * nll
+        return mse + nll_weight * nll
 
     return loss_fn
 
@@ -254,7 +254,13 @@ def main():
         return jax.tree.map(
             lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, params)
 
-    val_loss = jax.jit(loss_fn)
+    # Selection scores EXTRAPOLATION MSE ONLY — measured: the full
+    # mse+0.1*nll objective is anti-correlated with e2e quality (the
+    # round-2 checkpoint, decisively the best end-to-end, scores nll~1e3
+    # on held-out clutter because its kernels are confidently narrow;
+    # the e2e-regressed nets score nll~0.3).  The nll term shapes
+    # variance calibration during TRAINING; it must not drive selection.
+    val_loss = jax.jit(make_loss(model, nll_weight=0.0))
 
     def make_val_set():
         """Held-out scene instances (seeds outside the training pool), one
