@@ -108,6 +108,7 @@ def main():
     from como_tpu.utils.io import ate_rmse
 
     per_seed = []
+    probe_frames = None  # seed-0 frames, captured for the burst probe below
     for seed in (0, 1, 2):
         cfg_e2e = ComoConfig()
         cfg_e2e.img_size = list(img_size)
@@ -123,6 +124,8 @@ def main():
         # acquisition, not SLAM compute (the reference streams pre-stored
         # dataset PNGs; como/data/odom_datasets.py); keep it off the clock
         frames = [ds[i] for i in range(len(ds))]
+        if seed == 0:
+            probe_frames, probe_intr = frames, ds.intrinsics
         eng = ComoSeq(cfg_e2e, ds.intrinsics, img_size)
         eng.setup()
         t0 = time.perf_counter()
@@ -142,14 +145,16 @@ def main():
         idx = (ts_arr * 30.0).round().astype(int)
         gt = np.array(ds.poses)[idx]
         e2e_ate = float(ate_rmse(est, gt, with_scale=True))
+        seed_path = float(np.sum(np.linalg.norm(
+            np.diff(np.array(ds.poses)[:, :3, 3], axis=0), axis=-1)))
         per_seed.append(dict(seed=seed, fps=round(float(e2e_fps), 2),
                              ate_cm=round(100.0 * e2e_ate, 3),
                              median_ms=round(float(np.median(lat_ms)), 1),
                              p90_ms=round(float(np.percentile(lat_ms, 90)), 1),
-                             frames_tracked=int(len(ts_arr))))
-    path_len = float(np.sum(np.linalg.norm(
-        np.diff(np.array(ds.poses)[:, :3, 3], axis=0), axis=-1)))
+                             frames_tracked=int(len(ts_arr)),
+                             path_len_m=round(seed_path, 3)))
     med = lambda k: float(np.median([r[k] for r in per_seed]))  # noqa: E731
+    path_len = med("path_len_m")
 
     # ---- fused frame-program service rate -----------------------------------
     # Back-to-back dispatches of the per-frame program (tracking + one GN
@@ -159,12 +164,20 @@ def main():
     # tunnel it separates transport service time from framework overhead
     # (measured: the e2e gap to 30 FPS is entirely transport — the
     # engine's host-side cost is ~4 ms/frame at resolve_stride 2).
-    rgb_last = frames[-1][1]
+    # A DEDICATED throwaway engine on seed-0 frames: _dispatch_fused
+    # mutates mapping/tracker state through donated buffers, so probing
+    # on a measured engine would corrupt it (ADVICE r3).
+    peng = ComoSeq(cfg_e2e, probe_intr, img_size)
+    peng.setup()
+    for ts_i, rgb_i in probe_frames[:40]:
+        peng.step(float(ts_i), rgb_i)
+    peng.finish()
+    rgb_last = probe_frames[-1][1]
 
     def fused_burst(n):
         t0b = time.perf_counter()
         for k in range(n):
-            pend = eng._dispatch_fused(float(k), rgb_last)
+            pend = peng._dispatch_fused(float(1000 + k), rgb_last)
         jax.block_until_ready(pend["stats"])
         return n / (time.perf_counter() - t0b)
 

@@ -38,6 +38,15 @@ class KeyframingConfig:
     kf_depth_motion_ratio: float = 0.12
     kf_num_pixels_frac: float = 0.75
     one_way_freq: int = 3
+    # rotation-aware motion criterion (0 = the reference's translation-
+    # only rule, Tracking.py:114-132): fold depth*rot_angle into the
+    # keyframe distance — rotation sweeps points sideways like a baseline
+    # of that length, so rotation-dominant viewpoint change (orbits)
+    # triggers keyframes as predictably as translation does
+    kf_rot_weight: float = 0.0
+    # EMA smoothing of the decision median depth (0 = off): decouples
+    # keyframe timing from single-frame median flicker on occluded worlds
+    stat_ema: float = 0.0
 
 
 @dataclass
@@ -142,6 +151,12 @@ class MappingConfig:
     model_path: str = ""    # empty -> analytic structure-tensor prior
     prior: str = "analytic"  # "analytic" | "unet"
     track_ref_num_keyframes: int = 1
+    # execute one dummy instance of every insertion-path program at
+    # setup (odom/mapping.py::warmup): the first in-process execution
+    # pays compile or cache-deserialization (measured 1-2.5 s on a
+    # 1-core host) — warm at startup instead of stalling the frame that
+    # triggers the first real insertion.  State is restored bitwise.
+    warm_start: bool = True
     graph: GraphConfig = field(default_factory=GraphConfig)
     photo_construction: PhotoConstructionConfig = field(default_factory=PhotoConstructionConfig)
     # grad_norm=0.0 disables the gradient-norm stop for mapping: the BA
@@ -182,14 +197,12 @@ class ComoConfig:
     # of decisions landing that many frames later.  1 = the reference's
     # decide-immediately behavior, one frame late.
     dispatch_depth: int = 1
-    # adaptive decision lag (0 = off): resolve a dispatched frame as soon
-    # as its decision stats are device-ready (jax.Array.is_ready), never
-    # blocking the host; a frame is force-resolved at this depth.  Decision
-    # *timing* then depends on transport latency (trajectories can vary
-    # across runs on a loaded tunnel) — keep 0 where bitwise run-to-run
-    # determinism matters (the benchmark uses fixed dispatch_depth 2
-    # with this off; resolve_stride is the deterministic alternative).
-    dispatch_depth_max: int = 0
+    # (an adaptive lag knob, dispatch_depth_max, lived here through round
+    # 3: resolve frames as their stats become device-ready.  Deleted on
+    # evidence — decision timing followed transport load, making
+    # trajectories nondeterministic run-over-run (measured: seed-0 ATE
+    # 10.1 cm adaptive vs 6.7 cm fixed on the tunnel), and resolve_stride
+    # covers its only use case deterministically.)
     # deterministic sync batching: resolve the keyframe/one-way decisions
     # of `resolve_stride` dispatched frames in ONE burst every stride-th
     # frame (runtime/seq.py).  The per-frame floor on a remote-attached
@@ -197,22 +210,32 @@ class ComoConfig:
     # profiled); one blocking read per burst amortizes it over stride
     # frames while the async prefetch lands the rest.  Decisions inside a
     # burst resolve at depths [dispatch_depth, dispatch_depth+stride-1] —
-    # a FIXED cadence, so trajectories stay run-to-run deterministic
-    # (unlike dispatch_depth_max, which times decisions by transport
-    # load).  1 = off (the reference's decide-every-frame behavior).
+    # a FIXED cadence, so trajectories stay run-to-run deterministic.
+    # 1 = off (the reference's decide-every-frame behavior).
     resolve_stride: int = 1
+    # frame batching (runtime/seq.py::_fused_pair_program): 2 tracks TWO
+    # consecutive frames (the second seeded from the first's on-device
+    # pose, shared KF reference) plus two mapping GN iterations in ONE
+    # device program.  On a remote-attached TPU the pipeline is bounded
+    # by per-program SERVICE time (~35-40 ms transport+exec, profiled
+    # round 3), so halving programs/frame is the throughput lever the
+    # transport leaves.  Decisions resolve in pair units at fixed depths
+    # {dispatch_depth, dispatch_depth+1} — deterministic.  1 = off.
+    frame_batch: int = 1
     tracking: TrackingConfig = field(default_factory=TrackingConfig)
     mapping: MappingConfig = field(default_factory=MappingConfig)
 
     def validate(self) -> "ComoConfig":
         assert 1 <= self.dispatch_depth <= 8, "dispatch_depth in [1, 8]"
-        assert self.dispatch_depth_max == 0 or \
-            self.dispatch_depth <= self.dispatch_depth_max <= 8, \
-            "dispatch_depth_max in {0} | [dispatch_depth, 8]"
         assert 1 <= self.resolve_stride <= 4, "resolve_stride in [1, 4]"
-        assert self.resolve_stride == 1 or self.dispatch_depth_max == 0, \
-            "resolve_stride > 1 is the deterministic alternative to " \
-            "dispatch_depth_max; set only one"
+        assert self.frame_batch in (1, 2), "frame_batch in {1, 2}"
+        if self.frame_batch == 2:
+            assert self.dispatch_depth % 2 == 0, \
+                "frame_batch 2 resolves decisions in pair units: " \
+                "dispatch_depth must be even (pairs in flight = depth/2)"
+            assert self.resolve_stride == 1, \
+                "frame_batch 2 already bursts decision resolution per " \
+                "pair; resolve_stride must stay 1"
         assert self.tracking.pyr.start_level >= 0
         assert self.tracking.pyr.end_level > self.tracking.pyr.start_level
         assert self.mapping.graph.num_keyframes >= 2

@@ -327,13 +327,27 @@ class Mapping:
         # every insertion (measured: p90 frame latency 1.2 s on the tunnel)
         self._prior_params = jax.device_put(prior_params)
         dims, C, hw = self.dims, self.C, self.img_size
+        # corr_cfg is built BEFORE the closure below and bound as a local:
+        # the closure is traced lazily (first insertion), so a
+        # self-attribute lookup would also work today, but only by the
+        # accident of setup completing first — bind the value instead
+        # (ADVICE r3 / VERDICT weak #8)
+        self.corr_cfg = corr_mod.CorrStatic(
+            corr_thresh=cfg.corr.corr_thresh, min_obs_depth=cfg.corr.min_obs_depth,
+            logz_grad_mag_thresh=cfg.corr.logz_grad_mag_thresh,
+            distill_with_prior=cfg.corr.distill_with_prior,
+            max_stdev_thresh=cfg.sampling.max_stdev_thresh,
+            border=cfg.sampling.border, dist_thresh=cfg.sampling.dist_thresh,
+            fixed_var=cfg.sampling.fixed_var, sigma_median=cfg.sigmas.distill_median,
+            corr_mode=cfg.corr.corr_mode, sample_mode=cfg.sampling.mode)
+        ccfg = self.corr_cfg
 
         def _insert_prep_impl(params, pose_last, pose_init, pm_last,
                               logzm_last, Knm_full_last, rgb, K, scale, key):
             cov_img = cov_fn(params, rgb, hw)
             res, prep, Pw_new = _corr_and_prep(
                 pose_last, pose_init, pm_last, logzm_last, Knm_full_last,
-                rgb, cov_img, K, scale, dims.M, self.corr_cfg, dims.NW, hw,
+                rgb, cov_img, K, scale, dims.M, ccfg, dims.NW, hw,
                 key, C)
             return cov_img, res, prep, Pw_new
 
@@ -350,14 +364,6 @@ class Mapping:
             lm_step_frac=cfg.sigmas.lm_step_frac,
             occlusion_thresh=cfg.sigmas.occlusion_thresh,
             estimate_affine=cfg.estimate_affine)
-        self.corr_cfg = corr_mod.CorrStatic(
-            corr_thresh=cfg.corr.corr_thresh, min_obs_depth=cfg.corr.min_obs_depth,
-            logz_grad_mag_thresh=cfg.corr.logz_grad_mag_thresh,
-            distill_with_prior=cfg.corr.distill_with_prior,
-            max_stdev_thresh=cfg.sampling.max_stdev_thresh,
-            border=cfg.sampling.border, dist_thresh=cfg.sampling.dist_thresh,
-            fixed_var=cfg.sampling.fixed_var, sigma_median=cfg.sigmas.distill_median,
-            corr_mode=cfg.corr.corr_mode, sample_mode=cfg.sampling.mode)
         self.sfm_term = dict(max_iter=cfg.init.max_iter,
                              delta_norm=cfg.init.delta_norm,
                              rel_tol=cfg.init.rel_tol)
@@ -365,7 +371,8 @@ class Mapping:
         self._pairs = None
         self.converged = False
         self.iter_count = 0
-        self._last_stats = None
+        self.total_iters = 0  # cumulative GN iterations (never reset)
+        self._stats_hist = []  # (iter_count, GNStats) ring for convergence
         self._prev_err = float("inf")
         self.damping = cfg.gn_damping
 
@@ -390,6 +397,9 @@ class Mapping:
             mesh = sharded.make_mesh(devs[:n])
             self._sharded_step = sharded.make_sharded_gn_step(
                 mesh, self.dims, self.sigmas, cfg.gn_damping)
+
+        if getattr(cfg, "warm_start", True):
+            self.warmup()
 
     # -- two-frame bootstrap ----------------------------------------------------
     def attempt_two_frame_init(self, timestamp, rgb) -> bool:
@@ -538,11 +548,47 @@ class Mapping:
         self._rebuild_pairs()
         self.converged = False
         self.iter_count = 0
+        self._stats_hist = []  # pre-insertion stats describe the old problem
         self._prev_err = float("inf")
 
     def add_keyframe(self, rgb, pose_init, aff_init, timestamp):
         self.add_keyframe_finalize(
             self.add_keyframe_dispatch(rgb, pose_init, aff_init, timestamp))
+
+    def warmup(self):
+        """Execute one dummy instance of every insertion-path device
+        program (keyframe dispatch + fused window write, one-way insert,
+        prune, world compose) and restore the pre-warmup state bitwise.
+
+        The FIRST execution of a program in a process pays compile
+        (minutes cold) or persistent-cache executable deserialization
+        (measured 1-2.5 s on the 1-core host) — at setup that is startup
+        cost; inside the frame loop it is a multi-second steady-state
+        stall on whichever frame triggers the first insertion (profiled:
+        one 2.5 s add_keyframe dominating a 120-frame run's latency
+        tail).  Insertion programs take the slot as a DYNAMIC scalar, so
+        one dummy execution warms every future insertion.  None of the
+        state-write programs donate their inputs, so snapshotting by
+        reference is sound (device arrays are immutable)."""
+        snap = (self.state, list(self.kf_ts), list(self.ow_ts),
+                self.num_kf, self.num_ow, self.anchor_lm_host.copy(),
+                self.alloc.valid.copy(), list(self.alloc.free),
+                self.is_init, self._pairs, self.converged, self.iter_count,
+                self.total_iters, self._prev_err)
+        hw = tuple(self.img_size)
+        rgb = jnp.full((1, 3) + hw, 0.5, self.dtype)
+        pose, aff = jnp.eye(4, dtype=self.dtype), jnp.zeros((2,), self.dtype)
+        self.add_keyframe(rgb, pose, aff, -2.0)
+        self.add_one_way_frame(rgb, pose, aff, -1.5)
+        st = _ow_prune_state(self.state, jnp.int32(1), jnp.int32(0),
+                             self.dims.O)
+        _compose_world(pose, aff, pose, aff)
+        jax.block_until_ready(st.ow_valid)
+        (self.state, self.kf_ts, self.ow_ts, self.num_kf, self.num_ow,
+         self.anchor_lm_host, self.alloc.valid, self.alloc.free,
+         self.is_init, self._pairs, self.converged, self.iter_count,
+         self.total_iters, self._prev_err) = snap
+        self._stats_hist = []
 
     # -- one-way frames ---------------------------------------------------------
     def add_one_way_frame(self, rgb, pose_init, aff_init, timestamp):
@@ -637,6 +683,7 @@ class Mapping:
                                                  self.K, self.dims,
                                                  self.sigmas, self.damping)
         self.iter_count += 1
+        self.total_iters += 1
         self._note_stats(stats)
         return stats
 
@@ -654,15 +701,21 @@ class Mapping:
         if self.iter_count >= term.max_iter:
             self.converged = True
             return False
-        if (self._last_stats is not None and self.iter_count > 0
-                and self.iter_count % 4 == 0):
-            s = self._last_stats
-            if any(hasattr(a, "is_ready") and not a.is_ready() for a in s):
-                # stats of the just-dispatched program are still in
-                # flight: never block the frame loop on them — the check
-                # simply runs at the next multiple-of-4 iteration (the
-                # criteria already tolerate stale stats by design)
+        if self.iter_count > 0 and self.iter_count % 4 == 0:
+            # Deterministic staleness: evaluate the stats recorded one
+            # full check period ago (newest with iter <= iter_count - 4)
+            # and device_get them UNCONDITIONALLY — their async D2H
+            # copies started 4 dispatches back, so the read is almost
+            # always free, and which stats get evaluated depends only on
+            # the iteration count, never on transport timing.  (An
+            # is_ready() gate here made convergence — and therefore the
+            # trajectory — vary with tunnel load on the remote TPU, a
+            # nondeterminism CPU tests could never see; ADVICE r3.)
+            cand = [s for it, s in self._stats_hist
+                    if it <= self.iter_count - 4]
+            if not cand:
                 return True
+            s = cand[-1]
             # one batched transfer for all scalars: per-field float()
             # would issue a separate device round trip each
             s = s._replace(**{k: float(v) for k, v in
@@ -690,10 +743,12 @@ class Mapping:
 
     def _note_stats(self, stats):
         """Record the latest GN stats and start their D2H copies: the
-        convergence check reads them as host floats, and a synchronous
-        read would block on the just-dispatched program (a full round
-        trip on remote-attached chips, measured ~23 ms/frame amortized)."""
-        self._last_stats = stats
+        convergence check reads them (one check period later) as host
+        floats, and a synchronous read would block on the just-dispatched
+        program (a full round trip on remote-attached chips, measured
+        ~23 ms/frame amortized)."""
+        self._stats_hist.append((self.iter_count, stats))
+        del self._stats_hist[:-8]
         for a in stats:
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()
@@ -702,6 +757,7 @@ class Mapping:
         """Bookkeeping for a GN iteration executed externally (the fused
         per-frame program in runtime/seq.py)."""
         self.iter_count += 1
+        self.total_iters += 1
         self._note_stats(stats)
 
     def maybe_iterate(self):

@@ -85,10 +85,14 @@ def build_reference(kf_rgb, kf_poses, depth, K, start_level: int, end_level: int
 
 @partial(jax.jit, static_argnames=("img_hw",))
 def frame_stats(P_full, mask_full, T_curr_kf, T_w_kf, K, img_hw):
-    """One fused per-frame device call: current world pose + the three
-    decision scalars (coverage count, median reprojected depth, |t|)
-    (reference get_reproj_last_kf + handle_frame:342-345).  Returns
-    (T_w_curr (4,4), stats (3,)) so the host pulls a single bundle."""
+    """One fused per-frame device call: current world pose + the four
+    decision scalars (coverage count, median reprojected depth, |t|,
+    rotation angle w.r.t. the KF)
+    (reference get_reproj_last_kf + handle_frame:342-345; the rotation
+    term extends the reference's translation-only motion criterion for
+    rotation-dominant viewpoint change — orbits — where |t| alone makes
+    keyframe timing chaotic).  Returns (T_w_curr (4,4), stats (4,)) so
+    the host pulls a single bundle."""
     P_curr, _, _ = transforms.transform_points(T_curr_kf[None], P_full[None])
     p, _ = project(K, P_curr)
     z = P_curr[0, :, 2]
@@ -103,7 +107,10 @@ def frame_stats(P_full, mask_full, T_curr_kf, T_w_kf, K, img_hw):
     med = histogram_median(jnp.where(filled, depth_img, 0.0), filled)
     T_w_curr = transforms.get_T_w_curr(T_w_kf[None], T_curr_kf[None])[0]
     kf_dist = jnp.linalg.norm(T_curr_kf[:3, 3])
-    return T_w_curr, jnp.stack([count, med, kf_dist])
+    # geodesic rotation angle of the frame-from-KF pose (radians)
+    cos_th = 0.5 * (jnp.trace(T_curr_kf[:3, :3]) - 1.0)
+    rot = jnp.arccos(jnp.clip(cos_th, -1.0, 1.0))
+    return T_w_curr, jnp.stack([count, med, kf_dist, rot])
 
 
 @partial(jax.jit, static_argnames=("term", "start_level", "end_level",
@@ -173,6 +180,7 @@ class Tracking:
     last_kf_sent_ts: float = -1.0
     num_one_way_since_kf: int = 0
     _last_good: Optional[tuple] = None  # (Tji, aff) of last finite decide
+    _med_ema: Optional[float] = None    # EMA of decision median depth
 
     def setup(self):
         self.use_motion_model = getattr(self.cfg, "use_motion_model", False)
@@ -198,14 +206,16 @@ class Tracking:
         depth (B,1,H,W)) — latest last (reference update_kf_reference)."""
         timestamps, rgb, pose, aff, depth = kf_data
         new_ts = float(timestamps[-1])
+        rebased = new_ts > self.kf_received_ts and self.mapping_init
 
-        if new_ts > self.kf_received_ts and self.mapping_init:
+        if rebased:
             # rebase current-frame-relative pose/affine onto the new KF
             self.T_curr_kf, self.aff_curr_kf = rebase_to_new_kf(
                 self.T_w_kf, self.T_curr_kf, self.aff_w_kf, self.aff_curr_kf,
                 pose[-1], aff[-1])
             self.num_one_way_since_kf = 0
             self._T_prev = None  # motion model invalid across KF rebases
+            self._med_ema = None  # median is w.r.t. the new reference now
         elif not self.mapping_init:
             self.mapping_init = True
             self.last_kf_sent_ts = new_ts
@@ -222,8 +232,12 @@ class Tracking:
         # it is stale in the wrong frame for re-lock.  Re-seed it from the
         # rebased estimate (rebase_to_new_kf sanitizes non-finite inputs
         # to identity on device — no host sync here; decide()'s lost
-        # branch re-validates finiteness before restoring).
-        self._last_good = (self.T_curr_kf, self.aff_curr_kf)
+        # branch re-validates finiteness before restoring).  On a pure
+        # period refresh (same KF) the old seed is still valid AND known
+        # finite — keep it rather than overwrite it with a possibly
+        # diverged in-flight estimate (ADVICE r3).
+        if rebased or self._last_good is None:
+            self._last_good = (self.T_curr_kf, self.aff_curr_kf)
 
     # -- per-frame, async split ----------------------------------------------
     # On a remote-attached TPU every host<->device sync stalls the dispatch
@@ -292,11 +306,28 @@ class Tracking:
         num_reproj = int(stats[0])
         median_depth = float(stats[1])
         kf_dist = float(stats[2])
+        rot_angle = float(stats[3])
         num_kf_pixels = pending["num_kf_pixels"]
         timestamp = pending["ts"]
 
-        frame_kind = None
         kcfg = self.cfg.keyframing
+        # EMA-smoothed median depth (stat_ema=0 -> off): the per-frame
+        # median over an occluded world is noisy, and the keyframe trigger
+        # multiplies it into the motion threshold — smoothing decouples
+        # keyframe timing from single-frame median flicker.
+        if kcfg.stat_ema > 0.0:
+            if self._med_ema is not None:
+                median_depth = (kcfg.stat_ema * self._med_ema
+                                + (1.0 - kcfg.stat_ema) * median_depth)
+            self._med_ema = median_depth
+        # rotation-aware motion: a rotation theta sweeps scene points
+        # sideways by ~ depth * theta, destroying overlap exactly like a
+        # baseline of that length; fold it into the distance criterion
+        # (kf_rot_weight=0 -> the reference's translation-only rule)
+        if kcfg.kf_rot_weight > 0.0:
+            kf_dist = kf_dist + kcfg.kf_rot_weight * median_depth * rot_angle
+
+        frame_kind = None
         # Gate on the reference timestamp AT DISPATCH (the pending
         # snapshot), not the tracker's current one: with dispatch_depth
         # >= 2 a frame tracked against the PREVIOUS keyframe resolves

@@ -26,6 +26,7 @@ import numpy as np
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 
 from como_tpu.config import ComoConfig
 from como_tpu.odom.backend.gn_step import _gn_step_impl
@@ -33,7 +34,8 @@ from como_tpu.odom.mapping import Mapping
 from como_tpu.odom.tracking import Tracking, frame_stats, predict_const_velocity
 from como_tpu.odom.frontend import tracking_kernels as tk
 from como_tpu.ops import image as img_ops
-from como_tpu.runtime.placement import (device_scope, resolve_device,
+from como_tpu.runtime.placement import (device_scope, resolve_device,  # noqa: F401
+                                        resolve_stage_devices,
                                         tree_device_put)
 from como_tpu.utils.io import save_traj
 from como_tpu.utils.log import EventLog
@@ -67,6 +69,61 @@ def _fused_frame_program(levels, rgb, T_init, aff_init, T_w_kf,
     return Tji, aff, T_w_curr, stats, new_state, gn_stats
 
 
+@partial(jax.jit,
+         static_argnames=("term", "start_level", "end_level", "img_hw",
+                          "dims", "sigmas", "color", "motion"),
+         donate_argnums=(8,))
+def _fused_pair_program(levels, rgb_a, rgb_b, T_init, aff_init, T_prev,
+                        T_w_kf, do_gn, state, pairs_ref, pairs_tgt,
+                        pairs_valid, K_intr, term, start_level: int,
+                        end_level: int, img_hw, dims, sigmas, damping,
+                        color: str = "gray", motion: bool = False):
+    """TWO consecutive frames tracked + (do_gn) two mapping GN iterations
+    as ONE device program (cfg.frame_batch=2).
+
+    The remote-attached pipeline is bounded by per-program service time
+    (~35-40 ms transport+exec, profiled round 3), not host cost, so
+    halving programs/frame is the remaining e2e-FPS lever.  Frame b is
+    seeded from frame a's on-device pose (const-velocity extrapolated
+    when the motion model is on) against the SAME keyframe reference —
+    exactly the state the sequential loop would have fed it, since
+    decisions (and hence reference changes) resolve at dispatch depth
+    >= 2 anyway.  State buffers donated; two chained GN steps keep the
+    one-iteration-per-frame mapping cadence.  do_gn is a TRACED bool
+    (lax.cond), not a static flag: one executable ever compiles/loads —
+    a static flag would compile its second variant on whichever
+    mid-sequence frame first sees mapping converged (a 1-2.5 s
+    first-touch stall on the 1-core host; minutes cold)."""
+    def _track(rgb, Ti, ai):
+        img = img_ops.rgb_to_gray(rgb) if color == "gray" else rgb
+        C = img.shape[1]
+        img_pyr = img_ops.image_pyramid(img, start_level, end_level)
+        Tji, aff, _ = tk.track_pyramid(levels, img_pyr, Ti, ai, term)
+        finest = levels[-1]
+        npix = finest.vals.shape[0] // C
+        T_w_curr, stats = frame_stats(finest.P[:npix], finest.mask[:npix],
+                                      Tji, T_w_kf, finest.K, img_hw)
+        return Tji, aff, T_w_curr, stats
+
+    out_a = _track(rgb_a, T_init, aff_init)
+    Tji_a, aff_a = out_a[0], out_a[1]
+    seed_b = (predict_const_velocity(T_prev, Tji_a) if motion else Tji_a)
+    out_b = _track(rgb_b, seed_b, aff_a)
+
+    def _two_gn(st):
+        st, s1 = _gn_step_impl(st, pairs_ref, pairs_tgt, pairs_valid,
+                               K_intr, dims, sigmas, damping)
+        st, s2 = _gn_step_impl(st, pairs_ref, pairs_tgt, pairs_valid,
+                               K_intr, dims, sigmas, damping)
+        return st, (s1, s2)
+
+    zeros = jax.tree.map(lambda t: jnp.zeros(t.shape, t.dtype),
+                         jax.eval_shape(_two_gn, state)[1])
+    state, gn_stats = jax.lax.cond(do_gn, _two_gn,
+                                   lambda st: (st, zeros), state)
+    return out_a, out_b, state, gn_stats
+
+
 class ComoSeq:
     def __init__(self, cfg: ComoConfig, intrinsics, img_size):
         self.cfg = cfg
@@ -76,8 +133,8 @@ class ComoSeq:
         # track+GN program is split into two per-device dispatches that
         # still overlap (async dispatch), and stage-boundary tensors cross
         # via device_put (ICI on multi-core TPU).
-        self.track_dev = resolve_device(cfg.tracking.device)
-        self.map_dev = resolve_device(cfg.mapping.device)
+        self.track_dev, self.map_dev = resolve_stage_devices(
+            cfg.tracking.device, cfg.mapping.device)
         if cfg.mapping.mesh_devices >= 2:
             # mesh-sharded BA: nothing may be committed to a single device
             # (the shard_map program spans the mesh, and tracking outputs
@@ -99,15 +156,18 @@ class ComoSeq:
         self._last_ref_ts = -1e9
         self._pending: List = []
         self.decision_lag = cfg.dispatch_depth  # dispatch depth before deciding
-        # adaptive lag: past decision_lag, only resolve frames whose stats
-        # are device-ready (no host blocking) until max_lag forces it
-        self.max_lag = cfg.dispatch_depth_max or cfg.dispatch_depth
         # deterministic burst resolution (cfg.resolve_stride): one blocking
         # sync resolves `stride` frames every stride-th frame, amortizing
         # the per-frame decision-stats round trip (the profiled frame-loop
         # floor on a remote-attached chip)
         self.resolve_stride = cfg.resolve_stride
         self._draining = False
+        # frame batching (cfg.frame_batch=2): two frames per fused device
+        # program; the first of each pair is stashed on host until its
+        # partner arrives.  Pair decisions resolve together (one blocking
+        # sync per pair, the partner's stats ride the same async copy).
+        self.frame_batch = cfg.frame_batch
+        self._stash = None
         self.log = EventLog()
 
     @property
@@ -178,12 +238,7 @@ class ComoSeq:
                 return True
             self._draining = False
             return False
-        if n >= self.max_lag:
-            return True
-        if n < self.decision_lag:
-            return False
-        s = self._pending[0].get("stats")
-        return not hasattr(s, "is_ready") or s.is_ready()
+        return n >= self.decision_lag
 
     def step(self, timestamp: float, rgb):
         """Process one frame; returns the latest world pose estimate
@@ -192,6 +247,7 @@ class ComoSeq:
 
         if not m.is_init:
             self._pending = []
+            self._stash = None
             with device_scope(self.map_dev):
                 m.attempt_two_frame_init(
                     timestamp, tree_device_put(rgb, self.map_dev))
@@ -202,6 +258,10 @@ class ComoSeq:
                 self._refresh_reference(timestamp, force=True)
                 return pose
             return None
+
+        if (self.frame_batch == 2 and not self.split_devices
+                and not m.uses_mesh):
+            return self._step_batched(timestamp, rgb)
 
         kf_inserted = False
         while self._should_resolve():
@@ -228,6 +288,69 @@ class ComoSeq:
         else:
             self._pending.append(self.tracking.dispatch_frame(timestamp, rgb))
         return self._pending[-1]["T_w_curr"]
+
+    def _step_batched(self, timestamp, rgb):
+        """frame_batch=2: stash the first frame of each pair; on its
+        partner, resolve due pairs, refresh the reference, and dispatch
+        ONE fused two-frame program.  Decisions resolve in pair units at
+        fixed depths {lag, lag+1} — deterministic (no readiness checks),
+        and the pair's second decide() rides the async D2H copies the
+        first one's blocking read already paid for."""
+        if self._stash is None:
+            self._stash = (timestamp, rgb)
+            # the pair containing this frame has not been dispatched yet;
+            # report the latest available estimate (est_poses/timestamps
+            # are appended at resolution, so the trajectory is unaffected)
+            return self._pending[-1]["T_w_curr"] if self._pending else None
+        kf_inserted = False
+        while len(self._pending) >= 2 * max(1, self.decision_lag // 2):
+            kf_inserted |= self._resolve_one()
+            kf_inserted |= self._resolve_one()
+        if kf_inserted or (timestamp - self._last_ref_ts > self.ref_period):
+            self._refresh_reference(timestamp)
+        ts_a, rgb_a = self._stash
+        self._stash = None
+        pa, pb = self._dispatch_pair(ts_a, rgb_a, timestamp, rgb)
+        self._pending.append(pa)
+        self._pending.append(pb)
+        return pb["T_w_curr"]
+
+    def _dispatch_pair(self, ts_a, rgb_a, ts_b, rgb_b):
+        """One device program: track two consecutive frames + (unless
+        mapping converged) two mapping GN steps."""
+        t = self.tracking
+        m = self.mapping
+        do_gn = m.should_iterate()
+        T_init = t.T_curr_kf
+        motion = bool(t.use_motion_model and t._T_prev is not None)
+        if motion:
+            T_init = predict_const_velocity(t._T_prev, t.T_curr_kf)
+        T_before = t.T_curr_kf
+        out_a, out_b, new_state, gn_stats = _fused_pair_program(
+            t.levels, rgb_a, rgb_b, T_init, t.aff_curr_kf, T_before,
+            t.T_w_kf, jnp.asarray(do_gn), m.state, *m._pairs, m.K,
+            t.term, t.cfg.pyr.start_level, t.cfg.pyr.end_level,
+            tuple(t.img_size), m.dims, m.sigmas, m.damping,
+            t.cfg.color, motion)
+        Tji_a, aff_a, Tw_a, stats_a = out_a
+        Tji_b, aff_b, Tw_b, stats_b = out_b
+        t._T_prev = Tji_a  # frame before the tracker's new current (= b)
+        t.T_curr_kf, t.aff_curr_kf = Tji_b, aff_b
+        m.state = new_state
+        if do_gn:
+            for s in gn_stats:
+                m.note_iteration(s)
+        C = 3 if t.cfg.color == "rgb" else 1
+        npix = t.levels[-1].vals.shape[0] // C
+        pa = t.prefetch_decision(dict(
+            ts=ts_a, rgb=rgb_a, Tji=Tji_a, aff=aff_a, T_w_curr=Tw_a,
+            stats=stats_a, kf_received_ts=t.kf_received_ts,
+            num_kf_pixels=npix))
+        pb = t.prefetch_decision(dict(
+            ts=ts_b, rgb=rgb_b, Tji=Tji_b, aff=aff_b, T_w_curr=Tw_b,
+            stats=stats_b, kf_received_ts=t.kf_received_ts,
+            num_kf_pixels=npix))
+        return pa, pb
 
     def _dispatch_fused(self, timestamp, rgb):
         """One device program: track this frame + one mapping GN step."""
@@ -257,6 +380,16 @@ class ComoSeq:
     def finish(self):
         """Resolve the remaining dispatched frames (stream end)."""
         if self.mapping.is_init:
+            if self._stash is not None:
+                # odd frame count under frame_batch=2: the last frame has
+                # no partner — dispatch it as a single-frame program
+                ts_a, rgb_a = self._stash
+                self._stash = None
+                if self.mapping.should_iterate():
+                    self._pending.append(self._dispatch_fused(ts_a, rgb_a))
+                else:
+                    self._pending.append(
+                        self.tracking.dispatch_frame(ts_a, rgb_a))
             while self._pending:
                 self._resolve_one()
 

@@ -24,8 +24,8 @@ def main():
     p.add_argument("--warmup", type=int, default=30)
     p.add_argument("--lag", type=int, default=None,
                    help="override engine decision_lag (dispatch depth)")
-    p.add_argument("--maxlag", type=int, default=None,
-                   help="override engine max_lag (adaptive resolve bound)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="frames per fused device program (cfg.frame_batch)")
     p.add_argument("--prerender", action="store_true",
                    help="render all frames to host numpy before the loop")
     args = p.parse_args()
@@ -42,6 +42,10 @@ def main():
     IMG = tuple(args.img)
     cfg = ComoConfig()
     cfg.img_size = list(IMG)
+    if args.batch is not None:
+        cfg.frame_batch = args.batch
+        if args.batch == 2:
+            cfg.dispatch_depth = max(args.lag or 2, 2)
     cfg.validate()
     ds = SyntheticDataset(n_frames=args.frames, img_size=IMG, seed=0,
                           step=0.012, scene=args.scene)
@@ -49,9 +53,6 @@ def main():
     eng.setup()
     if args.lag is not None:
         eng.decision_lag = args.lag
-        eng.max_lag = max(eng.max_lag, args.lag)
-    if args.maxlag is not None:
-        eng.max_lag = args.maxlag
     frames = None
     if args.prerender:
         frames = [(float(t), np.asarray(r))
@@ -73,6 +74,7 @@ def main():
         setattr(obj, name, g)
 
     wrap(eng, "_dispatch_fused")
+    wrap(eng, "_dispatch_pair")
     wrap(eng, "_resolve_one")
     wrap(eng, "_refresh_reference")
     wrap(eng.tracking, "dispatch_frame", "tracking.dispatch_frame")

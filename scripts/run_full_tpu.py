@@ -27,13 +27,23 @@ def main():
     p.add_argument("--prior", default=None, choices=[None, "analytic", "unet"])
     p.add_argument("--lag", type=int, default=None,
                    help="dispatch depth (cfg.dispatch_depth)")
-    p.add_argument("--maxlag", type=int, default=None,
-                   help="adaptive resolve bound (cfg.dispatch_depth_max)")
     p.add_argument("--stride", type=int, default=None,
                    help="burst decision resolution (cfg.resolve_stride)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="frames per fused device program (cfg.frame_batch)")
     p.add_argument("--model", default=None,
                    help="msgpack UNet weights (with --prior unet)")
     p.add_argument("--log", default=None, help="jsonl event-log path")
+    # keyframing sweep knobs (tracking.keyframing)
+    p.add_argument("--kf_ratio", type=float, default=None,
+                   help="kf_depth_motion_ratio")
+    p.add_argument("--rot_weight", type=float, default=None,
+                   help="kf_rot_weight (rotation-aware motion criterion)")
+    p.add_argument("--stat_ema", type=float, default=None,
+                   help="EMA factor on the decision median depth")
+    p.add_argument("--one_way_freq", type=int, default=None)
+    p.add_argument("--motion", action="store_true",
+                   help="constant-velocity motion model (use_motion_model)")
     args = p.parse_args()
 
     import jax
@@ -54,10 +64,22 @@ def main():
         cfg.mapping.model_path = args.model
     if args.lag is not None:
         cfg.dispatch_depth = args.lag
-    if args.maxlag is not None:
-        cfg.dispatch_depth_max = args.maxlag
     if args.stride is not None:
         cfg.resolve_stride = args.stride
+    if args.batch is not None:
+        cfg.frame_batch = args.batch
+        if args.batch == 2 and args.lag is None:
+            cfg.dispatch_depth = max(2, cfg.dispatch_depth)
+    if args.kf_ratio is not None:
+        cfg.tracking.keyframing.kf_depth_motion_ratio = args.kf_ratio
+    if args.rot_weight is not None:
+        cfg.tracking.keyframing.kf_rot_weight = args.rot_weight
+    if args.stat_ema is not None:
+        cfg.tracking.keyframing.stat_ema = args.stat_ema
+    if args.one_way_freq is not None:
+        cfg.tracking.keyframing.one_way_freq = args.one_way_freq
+    if args.motion:
+        cfg.tracking.use_motion_model = True
     cfg.validate()
     ds = SyntheticDataset(n_frames=args.frames, img_size=IMG, seed=args.seed,
                           step=args.step, scene=args.scene)

@@ -226,7 +226,10 @@ def test_gn_damping_is_static():
     # cost up, cost down — damping must never move (a changed value would
     # be traced as a new constant -> full recompile of the frame program)
     for it, err in [(4, 100.0), (8, 50.0), (12, 25.0), (16, 400.0)]:
-        m.iter_count, m._last_stats = it, stats(err)
+        m.iter_count = it
+        # recorded one check period earlier, so the deterministic
+        # staleness bound (iter <= iter_count - 4) picks it up
+        m._stats_hist.append((it - 4, stats(err)))
         m.should_iterate()
         assert m.damping == d0
     assert d0 == cfg.gn_damping

@@ -93,8 +93,8 @@ def test_mesh_product_e2e_matches_single_device():
     eng8, ts8, est8 = run_product(8)
     assert eng8.mapping.uses_mesh and not eng1.mapping.uses_mesh
     # the sharded step actually ran (iter_count resets per insertion, so
-    # check the stats bookkeeping instead)
-    assert eng8.mapping._last_stats is not None
+    # check the cumulative counter instead)
+    assert eng8.mapping.total_iters > 0
     np.testing.assert_array_equal(ts1, ts8)          # identical decisions
     assert eng1.mapping.kf_ts == eng8.mapping.kf_ts  # identical insertions
     np.testing.assert_allclose(est1, est8, atol=2e-3)

@@ -131,7 +131,8 @@ def test_resolve_stride_matches_stride1():
     per-frame decision-stats sync, the profiled frame-loop floor on a
     remote-attached TPU).  Decisions land at fixed alternating depths, so
     the trajectory must stay close to stride 1 AND be bitwise identical
-    across repeat runs (the determinism dispatch_depth_max lacks)."""
+    across repeat runs (the determinism the deleted adaptive-lag knob
+    lacked)."""
     from como_tpu.config import ComoConfig
     from como_tpu.data.synthetic import SyntheticDataset
     from como_tpu.runtime.seq import ComoSeq
@@ -164,40 +165,95 @@ def test_resolve_stride_matches_stride1():
     assert ate2 < max(2.5 * ate1, 0.02), (ate1, ate2)
 
 
-def test_resolve_stride_excludes_adaptive():
-    from como_tpu.config import ComoConfig
-    cfg = ComoConfig()
-    cfg.dispatch_depth = 2
-    cfg.dispatch_depth_max = 4
-    cfg.resolve_stride = 2
-    with pytest.raises(AssertionError):
-        cfg.validate()
-
-
-def test_adaptive_dispatch_depth():
-    """dispatch_depth_max > dispatch_depth resolves frames as their stats
-    become device-ready (never blocking past decision_lag) and must still
-    produce a finite, close trajectory; all frames are accounted for."""
+def test_frame_batch_matches_unbatched():
+    """cfg.frame_batch=2 tracks two consecutive frames (second seeded
+    from the first's on-device pose, shared KF reference) + two mapping
+    GN steps in ONE device program — halving programs/frame, the
+    remote-attachment throughput lever.  Every frame must still get a
+    pose (odd frame count exercises the stash flush in finish()), the
+    trajectory must stay close to the unbatched depth-2 run, and repeat
+    runs must be bitwise identical (decisions resolve at fixed pair
+    depths {2,3}, never by transport timing)."""
     from como_tpu.config import ComoConfig
     from como_tpu.data.synthetic import SyntheticDataset
     from como_tpu.runtime.seq import ComoSeq
     from como_tpu.utils.io import ate_rmse
 
     IMG = (48, 64)
+    N = 25  # odd number of post-init frames -> stash flush path
+
+    def run(batch):
+        cfg = ComoConfig()
+        cfg.img_size = list(IMG)
+        cfg.dispatch_depth = 2
+        cfg.frame_batch = batch
+        cfg.mapping.graph.num_keyframes = 4
+        cfg.mapping.graph.num_one_way_frames = 4
+        cfg.mapping.sampling.max_num_coords = 16
+        cfg.mapping.sampling.border = 2
+        cfg.validate()
+        ds = SyntheticDataset(n_frames=N, img_size=IMG, seed=0, step=0.02)
+        eng = ComoSeq(cfg, ds.intrinsics, IMG)
+        eng.setup()
+        ts, est = eng.run(ds)
+        assert np.all(np.isfinite(est))
+        # every frame from init onward is accounted for exactly once
+        assert len(ts) == len(set(ts)) and len(est) == len(ts)
+        idx = (np.asarray(ts) * 30.0).round().astype(int)
+        return (len(ts), est,
+                ate_rmse(est, np.array(ds.poses)[idx], with_scale=True))
+
+    n1, est1, ate1 = run(1)
+    n2, est2, ate2 = run(2)
+    n2b, est2b, ate2b = run(2)
+    assert n2 == n1  # batching drops no frames
+    np.testing.assert_array_equal(est2, est2b)  # deterministic by design
+    assert ate2 < max(2.5 * ate1, 0.02), (ate1, ate2)
+
+
+def test_warm_start_identical_trajectory():
+    """mapping.warm_start executes dummy insertion-path programs at setup
+    and restores state bitwise — trajectories (and insertion decisions)
+    must be IDENTICAL to a cold engine; only first-insertion latency may
+    differ (the 1-2.5 s first-touch stall it exists to move)."""
+    from como_tpu.config import ComoConfig
+    from como_tpu.data.synthetic import SyntheticDataset
+    from como_tpu.runtime.seq import ComoSeq
+
+    IMG = (48, 64)
+
+    def run(warm):
+        cfg = ComoConfig()
+        cfg.img_size = list(IMG)
+        cfg.mapping.warm_start = warm
+        cfg.mapping.graph.num_keyframes = 4
+        cfg.mapping.graph.num_one_way_frames = 4
+        cfg.mapping.sampling.max_num_coords = 16
+        cfg.mapping.sampling.border = 2
+        cfg.validate()
+        ds = SyntheticDataset(n_frames=20, img_size=IMG, seed=0, step=0.02)
+        eng = ComoSeq(cfg, ds.intrinsics, IMG)
+        eng.setup()
+        ts, est = eng.run(ds)
+        return ts, est, eng.mapping.kf_ts, eng.mapping.ow_ts
+
+    ts_c, est_c, kf_c, ow_c = run(False)
+    ts_w, est_w, kf_w, ow_w = run(True)
+    np.testing.assert_array_equal(ts_c, ts_w)
+    np.testing.assert_array_equal(est_c, est_w)   # bitwise restore
+    assert kf_c == kf_w and ow_c == ow_w
+
+
+def test_frame_batch_validation():
+    from como_tpu.config import ComoConfig
     cfg = ComoConfig()
-    cfg.img_size = list(IMG)
+    cfg.frame_batch = 2
+    cfg.dispatch_depth = 3  # pair resolution needs an even depth
+    with pytest.raises(AssertionError):
+        cfg.validate()
     cfg.dispatch_depth = 2
-    cfg.dispatch_depth_max = 4
-    cfg.mapping.graph.num_keyframes = 4
-    cfg.mapping.graph.num_one_way_frames = 4
-    cfg.mapping.sampling.max_num_coords = 16
-    cfg.mapping.sampling.border = 2
+    cfg.resolve_stride = 2  # batching already bursts per pair
+    with pytest.raises(AssertionError):
+        cfg.validate()
+    cfg.resolve_stride = 1
     cfg.validate()
-    ds = SyntheticDataset(n_frames=25, img_size=IMG, seed=0, step=0.02)
-    eng = ComoSeq(cfg, ds.intrinsics, IMG)
-    eng.setup()
-    ts, est = eng.run(ds)
-    assert len(ts) >= 20 and np.all(np.isfinite(est))
-    idx = (np.asarray(ts) * 30.0).round().astype(int)
-    ate = ate_rmse(est, np.array(ds.poses)[idx], with_scale=True)
-    assert ate < 0.05, ate

@@ -117,7 +117,7 @@ def test_lost_frame_holds_pose(scene):
 
     poisoned = dict(ts=2 / 30.0, rgb=rgb1, Tji=jnp.full((4, 4), jnp.nan),
                     aff=jnp.zeros((2,)), T_w_curr=jnp.full((4, 4), jnp.nan),
-                    stats=jnp.array([jnp.nan, jnp.nan, jnp.nan]),
+                    stats=jnp.array([jnp.nan, jnp.nan, jnp.nan, jnp.nan]),
                     kf_received_ts=t.kf_received_ts, num_kf_pixels=100)
     t.T_curr_kf = jnp.full((4, 4), jnp.nan)
     out = t.decide(poisoned)
