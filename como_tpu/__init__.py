@@ -38,3 +38,25 @@ import jax as _jax
 # default to full f32; hot MXU paths (the DepthCov UNet) opt in to bf16
 # explicitly where it is safe.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache for EVERY entry point (CLI included): the
+# frame/insertion programs cost minutes to compile cold on the 1-core
+# host, and a process without the cache recompiles all of them (measured:
+# the CLI ran at 0.4 FPS — ~240 s of in-loop compiles — while scripts
+# that set the cache ran the same engine at ~19-28 FPS).  Respect an
+# existing setting (tests point this at a CPU-specific dir).
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+# Keep the host CPU backend available alongside the TPU plugin: input
+# acquisition (synthetic ray-casts, image decode) must run on host, not
+# ride the device tunnel (data/synthetic.py pins renders to it).  The
+# environment pins JAX_PLATFORMS=<tpu-plugin> which HIDES the cpu
+# backend; append it (first entry stays the default platform).
+_plat = _jax.config.jax_platforms
+if _plat and "cpu" not in _plat.split(","):
+    try:
+        _jax.config.update("jax_platforms", _plat + ",cpu")
+    except RuntimeError:  # backends already initialized: leave as-is
+        pass

@@ -43,11 +43,16 @@ def main(argv=None):
     # honor JAX_PLATFORMS from the environment: this image's sitecustomize
     # registers the TPU plugin at interpreter startup, so the env var alone
     # does not stick (CLAUDE.md "CPU runs"); required e.g. for
-    # --config configs/mesh.yml on a forced-host-device CPU mesh
+    # --config configs/mesh.yml on a forced-host-device CPU mesh.  Keep
+    # the host cpu backend available alongside (como_tpu/__init__.py):
+    # input acquisition is pinned to it (data/synthetic.py).
     import os
     if os.environ.get("JAX_PLATFORMS"):
         import jax
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        plat = os.environ["JAX_PLATFORMS"]
+        if "cpu" not in plat.split(","):
+            plat += ",cpu"
+        jax.config.update("jax_platforms", plat)
 
     from como_tpu.config import load_config
     from como_tpu.data.datasets import get_dataset

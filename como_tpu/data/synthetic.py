@@ -382,9 +382,18 @@ class SyntheticDataset:
         chroma = variant in ("chroma", "photo")
         if nuisance is None and variant == "photo":
             nuisance = PHOTO_NUISANCE
-        self.scene = _SCENES[base](img_size=img_size, seed=seed, chroma=chroma)
-        traj_kwargs = {} if rot_step is None else {"rot_step": rot_step}
-        self.poses = self.scene.trajectory(n_frames, step=step, **traj_kwargs)
+        # Frame synthesis is INPUT ACQUISITION, not SLAM compute: pin it to
+        # the host CPU backend (like the reference streaming dataset PNGs
+        # from disk, como/data/odom_datasets.py).  On a remote-attached TPU
+        # an un-pinned render ran on the chip — one program round trip per
+        # frame (measured 44 ms/frame through the tunnel vs 0.4 ms on host).
+        self._cpu = jax.devices("cpu")[0]
+        with jax.default_device(self._cpu):
+            self.scene = _SCENES[base](img_size=img_size, seed=seed,
+                                       chroma=chroma)
+            traj_kwargs = {} if rot_step is None else {"rot_step": rot_step}
+            self.poses = self.scene.trajectory(n_frames, step=step,
+                                               **traj_kwargs)
         self.fps = fps
         self.intrinsics = self.scene.K
         self.img_size = tuple(img_size)
@@ -405,21 +414,26 @@ class SyntheticDataset:
             ys, xs = np.meshgrid(np.arange(h) - (h - 1) / 2,
                                  np.arange(w) - (w - 1) / 2, indexing="ij")
             r2 = (ys ** 2 + xs ** 2) / (((h - 1) / 2) ** 2 + ((w - 1) / 2) ** 2)
-            self._vmap = jnp.asarray(1.0 - nuisance.vignette * r2, jnp.float32)
-            self._noise_key = jax.random.PRNGKey(seed + 177)
+            with jax.default_device(self._cpu):
+                self._vmap = jnp.asarray(1.0 - nuisance.vignette * r2,
+                                         jnp.float32)
+                self._noise_key = jax.random.PRNGKey(seed + 177)
 
     def __len__(self):
         return self.poses.shape[0]
 
     def __getitem__(self, idx):
-        rgb, _ = self.scene.render(self.poses[idx])
-        if self.nuisance is not None:
-            rgb = _apply_nuisance(
-                rgb, jnp.float32(self.gt_aff[idx, 0]),
-                jnp.float32(self.gt_aff[idx, 1]), self._vmap,
-                jax.random.fold_in(self._noise_key, idx),
-                self.nuisance.noise_sigma)
-        return idx / self.fps, rgb
+        with jax.default_device(self._cpu):
+            rgb, _ = self.scene.render(self.poses[idx])
+            if self.nuisance is not None:
+                rgb = _apply_nuisance(
+                    rgb, jnp.float32(self.gt_aff[idx, 0]),
+                    jnp.float32(self.gt_aff[idx, 1]), self._vmap,
+                    jax.random.fold_in(self._noise_key, idx),
+                    self.nuisance.noise_sigma)
+        # host numpy, like a decoded camera/disk frame: uncommitted, so the
+        # engine's jitted programs upload it to their own device
+        return idx / self.fps, np.asarray(rgb)
 
     def gt_pose(self, idx):
         return self.poses[idx]
@@ -432,5 +446,6 @@ class SyntheticDataset:
         return self.gt_aff[idx]
 
     def gt_depth(self, idx):
-        _, d = self.scene.render(self.poses[idx])
-        return d
+        with jax.default_device(self._cpu):
+            _, d = self.scene.render(self.poses[idx])
+        return np.asarray(d)

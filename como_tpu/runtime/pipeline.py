@@ -27,7 +27,8 @@ import numpy as np
 from como_tpu.config import ComoConfig
 from como_tpu.odom.mapping import Mapping
 from como_tpu.odom.tracking import Tracking
-from como_tpu.runtime.placement import (device_scope, resolve_device,
+from como_tpu.runtime.placement import (device_scope, resolve_device,  # noqa: F401
+                                        resolve_stage_devices,
                                         tree_device_put)
 from como_tpu.runtime.queues import make_queue
 from como_tpu.utils.io import save_traj
@@ -42,8 +43,8 @@ class ComoPipeline:
         # thread pins its compute + arrays to its device, and queue messages
         # crossing the stage boundary move via device_put (the TPU analog of
         # TupleTensorQueue's transfer-on-push, multiprocessing.py:41-46)
-        self.track_dev = resolve_device(cfg.tracking.device)
-        self.map_dev = resolve_device(cfg.mapping.device)
+        self.track_dev, self.map_dev = resolve_stage_devices(
+            cfg.tracking.device, cfg.mapping.device)
         if cfg.mapping.mesh_devices >= 2:
             # mesh-sharded BA: run both stages uncommitted (see seq.py)
             self.track_dev = self.map_dev = None

@@ -51,8 +51,39 @@ def resolve_device(spec: Optional[str]) -> Optional["jax.Device"]:
     if idx >= len(devs):
         log.warning("device '%s' out of range (%d available); using %s",
                     spec, len(devs), devs[0])
-        return devs[0]
+        devs = [devs[0]]
+        idx = 0
+    # A spec naming the process-default device resolves to None (= "use
+    # the default", uncommitted): jit caches executables per argument
+    # *sharding*, and committing inputs via device_put gives them a
+    # different key than uncommitted ones — on a single-device engine the
+    # first real keyframe insertion recompiled the (large) insertion
+    # program a second time, 91 s on the 1-core host, because the warmup's
+    # uncommitted dummy args and the runtime's committed args didn't share
+    # a cache entry.  Committed placement is only meaningful when the
+    # target differs from the default (two-device / split-stage configs).
+    if devs[idx] == jax.devices()[0]:
+        return None
     return devs[idx]
+
+
+def resolve_stage_devices(track_spec: Optional[str],
+                          map_spec: Optional[str]):
+    """Resolve the two stage device specs together.
+
+    Same target (including both-default) -> (None, None): fully
+    uncommitted, one jit-cache sharding key everywhere (see
+    resolve_device).  DIFFERENT targets -> both sides become explicit
+    devices, because the stage-boundary transfers (tree_device_put) and
+    default-device scopes are no-ops for None — a split engine with a
+    None side would leak its arrays onto the other stage's device.
+    """
+    track = resolve_device(track_spec)
+    map_ = resolve_device(map_spec)
+    if track == map_:
+        return track, map_
+    default = jax.devices()[0]
+    return track or default, map_ or default
 
 
 def tree_device_put(tree: Any, device: Optional["jax.Device"]) -> Any:

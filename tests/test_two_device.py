@@ -47,11 +47,16 @@ def run_seq(cfg, force_split=False):
 def test_resolve_device():
     assert resolve_device(None) is None
     assert resolve_device("default") is None
-    d0 = resolve_device("cpu:0")
+    # a spec naming the PROCESS-DEFAULT device resolves to None: committed
+    # placement only differs from the default by its jit-cache sharding
+    # key, and that mismatch recompiled the insertion program mid-run
+    # (placement.py resolve_device)
+    assert resolve_device("cpu:0") is None
     d1 = resolve_device("cpu:1")
-    assert d0 is not None and d1 is not None and d0 != d1
-    # out-of-range index falls back to first device of the platform
-    assert resolve_device("cpu:99") == jax.devices("cpu")[0]
+    assert d1 is not None and d1 == jax.devices("cpu")[1]
+    # out-of-range index falls back to the platform's first device, which
+    # here IS the default -> None
+    assert resolve_device("cpu:99") is None
     # unavailable platform falls back to default
     assert resolve_device("tpu:1") is None
 
@@ -66,7 +71,7 @@ def test_tree_device_put_mixed():
 
 
 def test_seq_two_device_placement_and_equality():
-    cpu0 = resolve_device("cpu:0")
+    cpu0 = jax.devices("cpu")[0]  # the default (resolve_device -> None)
     cpu1 = resolve_device("cpu:1")
 
     eng2, ts2, est2 = run_seq(small_config("cpu:0", "cpu:1"))
