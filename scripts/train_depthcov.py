@@ -219,6 +219,13 @@ def main():
                    help="every 3rd step at the 192x256 product resolution")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--out", default="models/depthcov.msgpack")
+    p.add_argument("--select", default="mse", choices=["mse", "e2e"],
+                   help="checkpoint selection: held-out extrapolation MSE "
+                        "(cheap proxy) or e2e SLAM ATE vs the analytic "
+                        "prior (scripts/select_checkpoint.py; the round-3 "
+                        "finding is that only e2e predicts e2e)")
+    p.add_argument("--select_every", type=int, default=500,
+                   help="steps between e2e selection evals")
     args = p.parse_args()
 
     model, params = unet_mod.init_unet(jax.random.PRNGKey(0), tuple(args.img))
@@ -304,6 +311,10 @@ def main():
     ema = params
     val_set = make_val_set()
     val_key = jax.random.PRNGKey(9999)  # fixed draws: scores comparable
+    scorer = None
+    if args.select == "e2e":
+        from select_checkpoint import E2EScorer
+        scorer = E2EScorer()
     best_score, best_params = float("inf"), None
     for step in range(args.steps):
         key, k1, k2 = jax.random.split(key, 3)
@@ -316,7 +327,14 @@ def main():
         ema = ema_update(ema, params)
         if step % 50 == 0:
             print(f"step {step}: loss {float(loss):.4f}", flush=True)
-        if val_set and (step + 1) % 250 == 0:
+        if scorer is not None and (step + 1) % args.select_every == 0:
+            host_ema = jax.tree.map(lambda x: np.array(x), ema)
+            score, _ = scorer.score_params(host_ema)
+            if score < best_score:
+                best_score, best_params = score, host_ema
+                print(f"  new best (e2e worst-ratio {score:.3f}x)",
+                      flush=True)
+        elif val_set and scorer is None and (step + 1) % 250 == 0:
             score, per = validate(ema, val_set, val_key)
             tag = " ".join(f"{k}={np.mean(v):.3f}" for k, v in per.items())
             print(f"step {step}: val {score:.4f} ({tag})", flush=True)
@@ -326,8 +344,17 @@ def main():
                 print(f"  new best (val {score:.4f})", flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    save_params(best_params if best_params is not None else params, args.out)
-    print(f"saved -> {args.out} (best val {best_score:.4f})")
+    if best_params is not None:
+        save_params(best_params, args.out)
+        print(f"saved -> {args.out} ({args.select}-selected EMA, "
+              f"score {best_score:.4f})")
+    else:
+        # no validation set (e.g. --data rgbd): the spiky GP loss makes
+        # raw last-step params a known-bad checkpoint (round-3 lesson) —
+        # fall back to the EMA, never the raw params
+        save_params(jax.tree.map(lambda x: np.array(x), ema), args.out)
+        print(f"saved -> {args.out} (no val set: final EMA params, "
+              "NOT val-selected)")
 
 
 if __name__ == "__main__":
