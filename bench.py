@@ -112,11 +112,18 @@ def main():
     for seed in (0, 1, 2):
         cfg_e2e = ComoConfig()
         cfg_e2e.img_size = list(img_size)
-        # fixed depth 2 (no adaptive dispatch_depth_max): adaptive resolve
-        # times decisions by transport load, which makes trajectories
-        # nondeterministic run-over-run (measured: seed-0 ATE 6.7 cm fixed
-        # vs 10.1 cm adaptive on the tunnel) — the headline must be stable
-        cfg_e2e.dispatch_depth = 2
+        # frame batching, 3 pairs in flight (fixed depths — deterministic;
+        # adaptive resolve was measured nondeterministic and deleted):
+        # two frames + two GN steps per device program, decisions resolve
+        # in pair units 6-7 frames after dispatch.  Measured min-of-3 vs
+        # the r3 unbatched depth-2 config on this transport (profile_e2e,
+        # 89 steady frames): 23.9 ms/frame vs 34.1 — and much tighter
+        # run-over-run (2124-2292 ms vs 3031-6196) because one blocking
+        # decision read serves two frames and three pairs of slack keep
+        # it off the tunnel's critical path.  Seed-median ATE unchanged
+        # (10.16 vs 9.91 cm, same 3 seeds).
+        cfg_e2e.frame_batch = 2
+        cfg_e2e.dispatch_depth = 6
         cfg_e2e.validate()
         ds = SyntheticDataset(n_frames=110, img_size=img_size, seed=seed,
                               step=0.02, scene="clutter")
@@ -166,8 +173,13 @@ def main():
     # engine's host-side cost is ~4 ms/frame at resolve_stride 2).
     # A DEDICATED throwaway engine on seed-0 frames: _dispatch_fused
     # mutates mapping/tracker state through donated buffers, so probing
-    # on a measured engine would corrupt it (ADVICE r3).
-    peng = ComoSeq(cfg_e2e, probe_intr, img_size)
+    # on a measured engine would corrupt it (ADVICE r3).  Unbatched
+    # config: the probe measures the SINGLE-frame program's service rate.
+    cfg_probe = ComoConfig()
+    cfg_probe.img_size = list(img_size)
+    cfg_probe.dispatch_depth = 2
+    cfg_probe.validate()
+    peng = ComoSeq(cfg_probe, probe_intr, img_size)
     peng.setup()
     for ts_i, rgb_i in probe_frames[:40]:
         peng.step(float(ts_i), rgb_i)
@@ -200,7 +212,8 @@ def main():
             "e2e_ate_cm": round(med("ate_cm"), 3),
             "e2e_per_seed": per_seed,
             "frame_program_throughput_fps": round(float(prog_fps), 2),
-            "e2e_dispatch_depth": 2,
+            "e2e_dispatch_depth": 6,
+            "e2e_frame_batch": 2,
             "e2e_world": "clutter 192x256, 9KF/24OW, 64 anchors, "
                          f"110 frames, {path_len:.2f} m path, seed-median of 3",
             "device": str(jax.devices()[0]),

