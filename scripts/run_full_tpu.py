@@ -42,6 +42,8 @@ def main():
     p.add_argument("--stat_ema", type=float, default=None,
                    help="EMA factor on the decision median depth")
     p.add_argument("--one_way_freq", type=int, default=None)
+    p.add_argument("--kf_pixels_frac", type=float, default=None,
+                   help="kf_num_pixels_frac (coverage trigger)")
     p.add_argument("--motion", action="store_true",
                    help="constant-velocity motion model (use_motion_model)")
     args = p.parse_args()
@@ -78,6 +80,8 @@ def main():
         cfg.tracking.keyframing.stat_ema = args.stat_ema
     if args.one_way_freq is not None:
         cfg.tracking.keyframing.one_way_freq = args.one_way_freq
+    if args.kf_pixels_frac is not None:
+        cfg.tracking.keyframing.kf_num_pixels_frac = args.kf_pixels_frac
     if args.motion:
         cfg.tracking.use_motion_model = True
     cfg.validate()
