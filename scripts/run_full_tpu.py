@@ -46,6 +46,11 @@ def main():
                    help="kf_num_pixels_frac (coverage trigger)")
     p.add_argument("--motion", action="store_true",
                    help="constant-velocity motion model (use_motion_model)")
+    p.add_argument("--radius", type=float, default=None,
+                   help="photo_construction.radius_thresh (covisibility "
+                        "radius edges; needs --degrees too)")
+    p.add_argument("--degrees", type=float, default=None,
+                   help="photo_construction.degrees_thresh")
     args = p.parse_args()
 
     import jax
@@ -84,6 +89,10 @@ def main():
         cfg.tracking.keyframing.kf_num_pixels_frac = args.kf_pixels_frac
     if args.motion:
         cfg.tracking.use_motion_model = True
+    if args.radius is not None:
+        cfg.mapping.photo_construction.radius_thresh = args.radius
+    if args.degrees is not None:
+        cfg.mapping.photo_construction.degrees_thresh = args.degrees
     cfg.validate()
     ds = SyntheticDataset(n_frames=args.frames, img_size=IMG, seed=args.seed,
                           step=args.step, scene=args.scene)

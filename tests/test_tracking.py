@@ -100,6 +100,68 @@ def test_keyframe_decision_on_large_motion(scene):
     assert track_map is not None and track_map[0] == "keyframe"
 
 
+def _decision_pending(t, *, kf_dist=0.0, rot_angle=0.0, median_depth=2.0,
+                      num_reproj=100, num_kf_pixels=100, ts=1 / 30.0):
+    """A hand-built dispatch record so decide() can be unit-tested
+    without rendering (stats layout: tracking.py dispatch_frame)."""
+    return dict(ts=ts, rgb=None, Tji=jnp.eye(4), aff=jnp.zeros((2,)),
+                T_w_curr=jnp.eye(4),
+                stats=jnp.array([num_reproj, median_depth, kf_dist,
+                                 rot_angle], dtype=jnp.float32),
+                kf_received_ts=t.kf_received_ts,
+                num_kf_pixels=num_kf_pixels)
+
+
+def test_rotation_aware_keyframe_trigger(scene):
+    """kf_rot_weight folds depth*rot_angle into the motion criterion: a
+    pure rotation that sweeps points by ~depth*theta must promote a
+    keyframe when the weight is on, and must NOT under the reference's
+    translation-only rule (como/odom/Tracking.py:114-132 has no rotation
+    term — the clutter-orbit drift sweep showed that rule fires
+    chaotically on rotation-dominant paths)."""
+    t = make_tracking(scene)
+    T_kf = jnp.eye(4)
+    rgb0, depth0 = scene.render(T_kf)
+    t.update_kf_reference(([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+
+    # pure rotation: kf_dist=0, theta=0.2 rad, depth 2 m
+    # -> effective dist 0.5*2*0.2 = 0.2 > 0.12*2 = 0.24?  no: 0.2 < 0.24
+    # use theta=0.3: 0.5*2*0.3 = 0.3 > 0.24 -> keyframe
+    t.cfg.keyframing.kf_rot_weight = 0.0
+    out = t.decide(_decision_pending(t, rot_angle=0.3))
+    assert out is None or out[0] != "keyframe"
+
+    t2 = make_tracking(scene)
+    t2.update_kf_reference(([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+    t2.cfg.keyframing.kf_rot_weight = 0.5
+    out = t2.decide(_decision_pending(t2, rot_angle=0.3))
+    assert out is not None and out[0] == "keyframe"
+    # sub-threshold rotation stays quiet with the weight on
+    t3 = make_tracking(scene)
+    t3.update_kf_reference(([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+    t3.cfg.keyframing.kf_rot_weight = 0.5
+    out = t3.decide(_decision_pending(t3, rot_angle=0.05))
+    assert out is None or out[0] != "keyframe"
+
+
+def test_stat_ema_smooths_median_depth(scene):
+    """stat_ema damps single-frame median-depth flicker: a one-frame
+    depth spike that would trip the motion threshold at raw stats must
+    not trip it through the EMA."""
+    t = make_tracking(scene)
+    T_kf = jnp.eye(4)
+    rgb0, depth0 = scene.render(T_kf)
+    t.update_kf_reference(([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+    t.cfg.keyframing.stat_ema = 0.9
+    # seed the EMA at depth 2.0 (kf threshold 0.24)
+    t.decide(_decision_pending(t, median_depth=2.0, kf_dist=0.0))
+    # spike: median collapses to 0.5 (raw threshold 0.06 < dist 0.1)
+    out = t.decide(_decision_pending(t, median_depth=0.5, kf_dist=0.1,
+                                     ts=2 / 30.0))
+    # EMA depth = 0.9*2.0 + 0.1*0.5 = 1.85 -> threshold 0.222 > 0.1
+    assert out is None or out[0] != "keyframe"
+
+
 def test_lost_frame_holds_pose(scene):
     """Non-finite tracking stats (degenerate view / poisoned reference)
     must mark the frame lost, restore the last finite relative pose, and
