@@ -23,12 +23,25 @@ import tempfile
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # held-out worlds: seeds far outside the training pool (train uses
-# seed%12 scene instances; validation MSE used 101-103)
-EVAL_WORLDS = (("clutter", 10), ("plane", 11))
+# seed%12 scene instances; validation MSE used 101-103).  TWO seeds per
+# world, scored as a ratio of per-world MEANS: single-seed calibration
+# showed clutter seed 10 alone is analytic-friendly (1.12 cm full-size
+# — a 5x harsher bar than the eval-matrix seeds), so one seed per world
+# makes the worst-ratio score hostage to one world instance's quirks.
+EVAL_WORLDS = (("clutter", (10, 13)), ("plane", (11, 14)))
+
+# Score at the PRODUCT resolution.  Calibration on the r2 checkpoint
+# (known full-size behavior: wins clutter, loses plane 2-4x vs analytic,
+# results/eval_matrix.json): at 96x128/60f it scores worst 0.99x — it
+# WINS plane small (1.68 vs 8.66 cm) — so small-size evals cannot see
+# the full-size plane failure at all (a feature-scale shift the
+# fully-convolutional UNet does not absorb; same effect that motivated
+# --multires training).  Only full-size scoring is predictive.
+DEFAULT_IMG = (192, 256)
 
 
 def run_slam(prior: str, model_path: str, scene: str, seed: int,
-             frames: int = 60, img=(96, 128)) -> float:
+             frames: int = 60, img=DEFAULT_IMG) -> float:
     """One short deterministic SLAM run; returns scale-aligned ATE (m)."""
     import numpy as np
 
@@ -56,27 +69,30 @@ class E2EScorer:
     baseline.  Baselines run once; each candidate costs ~len(EVAL_WORLDS)
     sequences (first candidate additionally pays the compile, cached)."""
 
-    def __init__(self, frames: int = 60, img=(96, 128), verbose=True):
+    def __init__(self, frames: int = 60, img=DEFAULT_IMG, verbose=True):
         self.frames, self.img, self.verbose = frames, tuple(img), verbose
         self.baselines = None
 
     def _ensure_baselines(self):
         if self.baselines is None:
             self.baselines = {
-                (s, sd): run_slam("analytic", "", s, sd, self.frames, self.img)
-                for s, sd in EVAL_WORLDS}
+                s: sum(run_slam("analytic", "", s, sd, self.frames, self.img)
+                       for sd in seeds) / len(seeds)
+                for s, seeds in EVAL_WORLDS}
             if self.verbose:
-                base = " ".join(f"{s}{sd}={a * 100:.2f}cm"
-                                for (s, sd), a in self.baselines.items())
-                print(f"[e2e-select] analytic baselines: {base}", flush=True)
+                base = " ".join(f"{s}={a * 100:.2f}cm"
+                                for s, a in self.baselines.items())
+                print(f"[e2e-select] analytic baselines (per-world mean): "
+                      f"{base}", flush=True)
 
     def score_path(self, model_path: str):
-        """-> (worst_ratio, {world: (ate_m, ratio)})"""
+        """-> (worst_ratio, {world: (mean_ate_m, ratio)})"""
         self._ensure_baselines()
         detail = {}
-        for (s, sd), base in self.baselines.items():
-            ate = run_slam("unet", model_path, s, sd, self.frames, self.img)
-            detail[f"{s}{sd}"] = (ate, ate / base)
+        for s, seeds in EVAL_WORLDS:
+            ate = sum(run_slam("unet", model_path, s, sd, self.frames,
+                               self.img) for sd in seeds) / len(seeds)
+            detail[s] = (ate, ate / self.baselines[s])
         worst = max(r for _, r in detail.values())
         if self.verbose:
             tag = " ".join(f"{k}={a * 100:.2f}cm({r:.2f}x)"
@@ -104,7 +120,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("checkpoints", nargs="+", help="msgpack files to score")
     p.add_argument("--frames", type=int, default=60)
-    p.add_argument("--img", type=int, nargs=2, default=[96, 128])
+    p.add_argument("--img", type=int, nargs=2, default=list(DEFAULT_IMG))
     args = p.parse_args()
 
     scorer = E2EScorer(frames=args.frames, img=tuple(args.img))
