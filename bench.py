@@ -27,9 +27,7 @@ def time_fn(fn, *args, warmup=2, iters=20):
 
 
 def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax  # host-keyed persistent compile cache is set by the package
     import jax.numpy as jnp
 
     from como_tpu.config import TrackingConfig

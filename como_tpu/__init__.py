@@ -45,9 +45,45 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # the CLI ran at 0.4 FPS — ~240 s of in-loop compiles — while scripts
 # that set the cache ran the same engine at ~19-28 FPS).  Respect an
 # existing setting (tests point this at a CPU-specific dir).
+#
+# The dir is keyed by the host's CPU feature flags: XLA:CPU entries carry
+# AOT machine code, and /tmp survives container migration across hosts —
+# deserializing an entry compiled for another host's vector features is
+# flagged by XLA as a SIGILL risk (observed in BENCH_r04's tail as the
+# "machine features mismatch" warning; CPU programs ride this cache too
+# because input acquisition is pinned to the host cpu backend).
+
+
+def _machine_tag() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "generic"
+
+
+def cache_dir() -> str:
+    """The host-keyed persistent compile-cache dir used by all entry points."""
+    return f"/tmp/jax_cache_{_machine_tag()}"
+
+
 if _jax.config.jax_compilation_cache_dir is None:
-    _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    _jax.config.update("jax_compilation_cache_dir", cache_dir())
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+# Bound the cache, which as a side effect turns on jax.lru_cache's file
+# locking: with the default unbounded cache, get()/put() take NO lock and
+# put() is a non-atomic write_bytes — two processes sharing the dir can
+# race a reader into a partially-written entry (the round-4 crash class:
+# every observed suite segfault/abort happened with a second JAX process
+# alive, never solo).  64 GiB >> the observed steady-state (~1 GiB), so
+# eviction itself never triggers; we only want the lock.
+_jax.config.update("jax_compilation_cache_max_size", 64 * 1024**3)
 
 # Keep the host CPU backend available alongside the TPU plugin: input
 # acquisition (synthetic ray-casts, image decode) must run on host, not
@@ -60,3 +96,22 @@ if _plat and "cpu" not in _plat.split(","):
         _jax.config.update("jax_platforms", _plat + ",cpu")
     except RuntimeError:  # backends already initialized: leave as-is
         pass
+
+# When CPU is only the auxiliary input-acquisition backend (default
+# platform is a real accelerator), cap its codegen at AVX2.  XLA:CPU's
+# default AVX-512 target adds the LLVM tuning flags prefer-no-scatter/
+# prefer-no-gather to the AOT feature string, and the cache loader
+# validates that string against host *cpuid* features — where tuning
+# flags never appear — so EVERY persistent-cache reload of a CPU
+# executable logs the scary "machine features mismatch / SIGILL"
+# warning even minutes after being written on the same machine
+# (root-caused round 5; reproduced with a 2-process write/reload).
+# AVX2 entries carry no such flags and reload silently.  CPU-only
+# processes (the test suite) keep full ISA: measured ~40% faster on
+# the suite's compute mix, and cosmetic warnings don't matter there.
+if _plat and not _plat.startswith("cpu"):
+    import os as _os
+
+    _xf = _os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in _xf:
+        _os.environ["XLA_FLAGS"] = (_xf + " --xla_cpu_max_isa=AVX2").strip()

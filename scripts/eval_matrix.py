@@ -72,9 +72,7 @@ def main():
     p.add_argument("--out", default="results/eval_matrix.json")
     args = p.parse_args()
 
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax  # host-keyed persistent compile cache is set by the package
 
     img = tuple(args.img)
     rows = []

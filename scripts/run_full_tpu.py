@@ -53,9 +53,7 @@ def main():
                    help="photo_construction.degrees_thresh")
     args = p.parse_args()
 
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax  # host-keyed persistent compile cache is set by the package
     import numpy as np
 
     from como_tpu.config import ComoConfig
