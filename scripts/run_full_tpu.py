@@ -46,11 +46,21 @@ def main():
                    help="kf_num_pixels_frac (coverage trigger)")
     p.add_argument("--motion", action="store_true",
                    help="constant-velocity motion model (use_motion_model)")
+    p.add_argument("--promote", action="store_true",
+                   help="kf_promote_latest: insert the newest dispatched "
+                        "frame when a keyframe decision fires")
+    p.add_argument("--anticipate", type=int, default=None,
+                   help="kf_anticipate: extrapolate the keyframe motion "
+                        "criterion N frames ahead (dispatch-lag aware)")
     p.add_argument("--radius", type=float, default=None,
                    help="photo_construction.radius_thresh (covisibility "
                         "radius edges; needs --degrees too)")
     p.add_argument("--degrees", type=float, default=None,
                    help="photo_construction.degrees_thresh")
+    p.add_argument("--prerender", action="store_true",
+                   help="render all frames up front (input acquisition off "
+                        "the clock — required for fair runtime comparisons "
+                        "on the 1-core host)")
     args = p.parse_args()
 
     import jax  # host-keyed persistent compile cache is set by the package
@@ -87,6 +97,10 @@ def main():
         cfg.tracking.keyframing.kf_num_pixels_frac = args.kf_pixels_frac
     if args.motion:
         cfg.tracking.use_motion_model = True
+    if args.promote:
+        cfg.tracking.keyframing.kf_promote_latest = True
+    if args.anticipate is not None:
+        cfg.tracking.keyframing.kf_anticipate = args.anticipate
     if args.radius is not None:
         cfg.mapping.photo_construction.radius_thresh = args.radius
     if args.degrees is not None:
@@ -106,16 +120,25 @@ def main():
         eng.log = EventLog(args.log)
 
     print(f"device: {jax.devices()[0]}  frames: {len(ds)}  img: {IMG}")
+    frames = ([ds[i] for i in range(len(ds))] if args.prerender
+              else None)
     t_compile0 = time.perf_counter()
     # first frames trigger compilation; time them separately
     warm = 0
     t0 = time.perf_counter()
     lat = []
     for i in range(len(ds)):
-        ts, rgb = ds[i]
+        ts, rgb = frames[i] if frames is not None else ds[i]
+        n_before = len(eng.timestamps)
         s = time.perf_counter()
         eng.step(float(ts), rgb)
-        lat.append(time.perf_counter() - s)
+        dt = time.perf_counter() - s
+        # per-RESOLVED-frame latency: a batched step resolves 0 or 2
+        # frames; split its wall time across them (a raw per-step median
+        # under frame_batch=2 collapses to a nonsense 0.0 ms)
+        n_res = len(eng.timestamps) - n_before
+        if n_res:
+            lat.extend([dt / n_res] * n_res)
         if i == 20:  # consider compiled by now
             warm = time.perf_counter() - t0
             t0 = time.perf_counter()
@@ -127,7 +150,7 @@ def main():
     n_steady = len(ds) - 21
     steady = time.perf_counter() - t0
     fps = n_steady / steady
-    lat = np.array(lat) * 1000
+    lat = np.array(lat if lat else [0.0]) * 1000
 
     ts_arr = np.asarray(eng.timestamps)
     idx = (ts_arr * 30.0).round().astype(int)

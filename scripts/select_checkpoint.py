@@ -22,13 +22,15 @@ import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# held-out worlds: seeds far outside the training pool (train uses
-# seed%12 scene instances; validation MSE used 101-103).  TWO seeds per
-# world, scored as a ratio of per-world MEANS: single-seed calibration
-# showed clutter seed 10 alone is analytic-friendly (1.12 cm full-size
-# — a 5x harsher bar than the eval-matrix seeds), so one seed per world
-# makes the worst-ratio score hostage to one world instance's quirks.
-EVAL_WORLDS = (("clutter", (10, 13)), ("plane", (11, 14)))
+# held-out worlds: ALL eval seeds sit above the training pool (training
+# instantiates scene instances sid = seed % 12, i.e. scene seeds 0-11 —
+# train_depthcov.py:synthetic_batch; the r4 selector's seeds 10/11 were
+# training instances, ADVICE r4).  TWO seeds per world, scored as a
+# ratio of per-world MEANS: single-seed calibration showed one clutter
+# instance alone can be analytic-friendly (1.12 cm full-size — a 5x
+# harsher bar than the eval-matrix seeds), so one seed per world makes
+# the worst-ratio score hostage to one world instance's quirks.
+EVAL_WORLDS = (("clutter", (13, 16)), ("plane", (14, 17)))
 
 # Score at the PRODUCT resolution.  Calibration on the r2 checkpoint
 # (known full-size behavior: wins clutter, loses plane 2-4x vs analytic,

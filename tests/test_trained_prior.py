@@ -78,9 +78,10 @@ def test_trained_prior_beats_baselines_at_extrapolation(held_out_views):
     mse_analytic = _extrap_mse(DepthCovPrior("analytic"), held_out_views)
     # measured on the shipped e2e-selected checkpoint: 0.097 vs 0.114
     # (random) vs 0.228 (analytic).  Decisive vs analytic; vs random the
-    # bar is monotone improvement only (see module docstring: the
+    # e2e-justified bar is monotone improvement with a modest margin so a
+    # near-tie with random init cannot silently pass (ADVICE r4; the
     # checkpoint is selected by held-out e2e ATE, not this proxy).
-    assert mse_trained < mse_random, (mse_trained, mse_random)
+    assert mse_trained < 0.95 * mse_random, (mse_trained, mse_random)
     assert mse_trained < 0.6 * mse_analytic, (mse_trained, mse_analytic)
 
 
