@@ -47,6 +47,19 @@ class KeyframingConfig:
     # EMA smoothing of the decision median depth (0 = off): decouples
     # keyframe timing from single-frame median flicker on occluded worlds
     stat_ema: float = 0.0
+    # Insert the NEWEST dispatched frame when a keyframe decision fires
+    # (False = insert the frame whose stats triggered, the reference's
+    # behavior at dispatch depth 0).  With dispatch depth d the trigger
+    # frame is d frames stale by the time the insertion lands; promoting
+    # the pipeline head restores the reference's decide-on-the-current-
+    # frame semantics (Tracking.py:114-167) and absorbs trigger-timing
+    # jitter (any trigger within a window inserts ~the same frame).
+    kf_promote_latest: bool = False
+    # Anticipate the dispatch lag in the keyframe motion criterion:
+    # extrapolate the per-frame motion rate `n` frames ahead before
+    # comparing against the threshold, so the trigger fires when the
+    # *pipeline head* (not the lag-old resolved frame) crosses it. 0 = off.
+    kf_anticipate: int = 0
 
 
 @dataclass

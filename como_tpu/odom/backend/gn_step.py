@@ -567,12 +567,26 @@ def _finish(state: WindowState, sc, dn, photo, K_intr, dims: WindowDims,
     dim_valid = jnp.concatenate([pose_dim_valid, lm_dim_valid]).astype(dtype)
     Hbig = Hbig * dim_valid[:, None] * dim_valid[None, :]
     Hbig = Hbig + jnp.diag(1.0 - dim_valid)
-    Hbig = Hbig + damping * jnp.eye(D, dtype=dtype)
     gbig = gbig * dim_valid
 
-    Lc = jnp.linalg.cholesky(Hbig)
-    yv = jax.scipy.linalg.solve_triangular(Lc, gbig[:, None], lower=True)
+    # Jacobi (diagonal) scaling: H and g mix curvatures spanning ~8 orders
+    # of magnitude (photometric pose blocks vs 1e-4-sigma gauge priors vs
+    # landmark z-chain blocks), which at f32 costs the Cholesky most of
+    # its effective mantissa.  Solving the symmetrically scaled system
+    # (S H S)(S^-1 delta) = S g with S = diag(H)^-1/2 brings the diagonal
+    # to 1, making `damping` a RELATIVE floor (the reference's absolute
+    # 1e-6 on a dense f64 system, linear_system.py:101-112, carried ~16
+    # digits; f32 needs the scaling instead of precision).
+    dH = jnp.diagonal(Hbig)
+    s = jax.lax.rsqrt(jnp.maximum(dH, jnp.asarray(1e-20, dtype)))
+    Hs = Hbig * s[:, None] * s[None, :]
+    Hs = Hs + damping * jnp.eye(D, dtype=dtype)
+    gs_ = s * gbig
+
+    Lc = jnp.linalg.cholesky(Hs)
+    yv = jax.scipy.linalg.solve_triangular(Lc, gs_[:, None], lower=True)
     delta = jax.scipy.linalg.solve_triangular(Lc.T, yv, lower=False)[:, 0]
+    delta = s * delta
     delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
 
     # ---- retract ------------------------------------------------------------

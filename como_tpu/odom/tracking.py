@@ -181,6 +181,7 @@ class Tracking:
     num_one_way_since_kf: int = 0
     _last_good: Optional[tuple] = None  # (Tji, aff) of last finite decide
     _med_ema: Optional[float] = None    # EMA of decision median depth
+    _prev_motion: Optional[float] = None  # last decide's kf_dist (anticipate)
 
     def setup(self):
         self.use_motion_model = getattr(self.cfg, "use_motion_model", False)
@@ -216,6 +217,7 @@ class Tracking:
             self.num_one_way_since_kf = 0
             self._T_prev = None  # motion model invalid across KF rebases
             self._med_ema = None  # median is w.r.t. the new reference now
+            self._prev_motion = None  # motion is w.r.t. the new KF now
         elif not self.mapping_init:
             self.mapping_init = True
             self.last_kf_sent_ts = new_ts
@@ -303,6 +305,12 @@ class Tracking:
             self._T_prev = None
             return None
         self._last_good = (pending["Tji"], pending["aff"])
+        if pending.get("promoted_kf"):
+            # this frame was already inserted as a keyframe when an older
+            # frame's decision resolved (kf_promote_latest): record-keeping
+            # only, nothing to decide
+            self._prev_motion = None
+            return None
         num_reproj = int(stats[0])
         median_depth = float(stats[1])
         kf_dist = float(stats[2])
@@ -326,6 +334,18 @@ class Tracking:
         # (kf_rot_weight=0 -> the reference's translation-only rule)
         if kcfg.kf_rot_weight > 0.0:
             kf_dist = kf_dist + kcfg.kf_rot_weight * median_depth * rot_angle
+        # dispatch-lag anticipation: decisions resolve `lag` frames after
+        # dispatch, so by the time a trigger lands the camera has moved
+        # ~lag frames past it.  Extrapolate the (monotone-growing) motion
+        # criterion by the per-frame rate so the trigger fires when the
+        # PIPELINE HEAD crosses the threshold, not the lag-old frame.
+        if kcfg.kf_anticipate > 0:
+            if self._prev_motion is not None:
+                rate = max(0.0, kf_dist - self._prev_motion)
+                self._prev_motion = kf_dist
+                kf_dist = kf_dist + kcfg.kf_anticipate * rate
+            else:
+                self._prev_motion = kf_dist
 
         frame_kind = None
         # Gate on the reference timestamp AT DISPATCH (the pending

@@ -168,6 +168,7 @@ class ComoSeq:
         # sync per pair, the partner's stats ride the same async copy).
         self.frame_batch = cfg.frame_batch
         self._stash = None
+        self._kf_promote = cfg.tracking.keyframing.kf_promote_latest
         self.log = EventLog()
 
     @property
@@ -215,6 +216,9 @@ class ComoSeq:
         else:
             self.est_poses.append(p["T_w_curr"])
         kf_inserted = False
+        if (track_map is not None and track_map[0] == "keyframe"
+                and self._kf_promote and self._pending):
+            track_map = self._promote_latest(track_map)
         if track_map is not None:
             with device_scope(self.map_dev):
                 track_map = tree_device_put(track_map, self.map_dev)
@@ -222,6 +226,29 @@ class ComoSeq:
             self.log.emit("insert", frame_kind=track_map[0], ts=p["ts"],
                           num_kf=m.num_kf, num_ow=m.num_ow)
         return kf_inserted
+
+    def _promote_latest(self, track_map):
+        """Swap a fired keyframe decision's insertion target to the NEWEST
+        dispatched frame (cfg.tracking.keyframing.kf_promote_latest).
+
+        With dispatch depth d the frame whose stats triggered the decision
+        is already d frames stale when the insertion lands, so tracking
+        receives a reference born d frames behind the camera — round-4
+        data showed keyframe TIMING (not thresholds) drives 7x ATE swings.
+        The reference system decides on and inserts the CURRENT frame
+        (como/odom/Tracking.py:114-167); promoting the pipeline head
+        restores that semantics under pipelined decisions and absorbs
+        trigger-timing jitter (any trigger within a lag window inserts
+        ~the same frame).  Costs one blocking sync on the head frame's
+        stats per insertion (keyframes are rare).  Falls back to the
+        trigger frame if the head diverged."""
+        q = self._pending[-1]
+        if not np.all(np.isfinite(np.asarray(q["stats"]))):
+            return track_map
+        q["promoted_kf"] = True
+        self.tracking.last_kf_sent_ts = q["ts"]
+        return ("keyframe", q["rgb"], q["Tji"], q["aff"],
+                q["kf_received_ts"], q["ts"])
 
     def _should_resolve(self) -> bool:
         n = len(self._pending)
