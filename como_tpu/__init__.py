@@ -46,30 +46,46 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # that set the cache ran the same engine at ~19-28 FPS).  Respect an
 # existing setting (tests point this at a CPU-specific dir).
 #
-# The dir is keyed by the host's CPU feature flags: XLA:CPU entries carry
-# AOT machine code, and /tmp survives container migration across hosts —
-# deserializing an entry compiled for another host's vector features is
-# flagged by XLA as a SIGILL risk (observed in BENCH_r04's tail as the
-# "machine features mismatch" warning; CPU programs ride this cache too
-# because input acquisition is pinned to the host cpu backend).
+# The dir is keyed by a host fingerprint: XLA:CPU entries carry AOT
+# machine code, and /tmp survives container migration across hosts —
+# deserializing an entry compiled for another host is flagged by XLA as
+# a SIGILL risk (observed in BENCH_r04's tail as the "machine features
+# mismatch" warning; CPU programs ride this cache too because input
+# acquisition is pinned to the host cpu backend).
+#
+# The fingerprint hashes the cpuinfo IDENTITY lines (vendor/family/
+# model/stepping/model name), not just the feature flags: XLA derives
+# pseudo-features like +prefer-no-gather/+prefer-no-scatter from LLVM's
+# detected CPU *model* (gather/scatter are microcoded on some models),
+# so two hosts with bitwise-identical `flags` lines can still produce
+# incompatible AOT entries — observed round 5 as a flags-keyed cache
+# replaying another host's +prefer-no-gather entries.
 
 
 def _machine_tag() -> str:
     import hashlib
 
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                if not line.strip():
+                    break  # first processor block has everything we need
+                key = line.split(":", 1)[0].strip()
+                if key in ("vendor_id", "cpu family", "model", "model name",
+                           "stepping", "flags"):
+                    ident.append(line.strip())
     except OSError:
         pass
-    return "generic"
+    if not ident:
+        return "generic"
+    return hashlib.sha1("\n".join(ident).encode()).hexdigest()[:12]
 
 
 def cache_dir() -> str:
-    """The host-keyed persistent compile-cache dir used by all entry points."""
-    return f"/tmp/jax_cache_{_machine_tag()}"
+    """The host-keyed persistent compile-cache dir used by all entry points
+    (v2: model-identity-keyed, see _machine_tag)."""
+    return f"/tmp/jax_cache_v2_{_machine_tag()}"
 
 
 if _jax.config.jax_compilation_cache_dir is None:

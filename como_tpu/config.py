@@ -44,9 +44,19 @@ class KeyframingConfig:
     # of that length, so rotation-dominant viewpoint change (orbits)
     # triggers keyframes as predictably as translation does
     kf_rot_weight: float = 0.0
+    # How the rotation term combines with translation: "sum" adds
+    # kf_rot_weight * depth * angle to |t| (every rotation nudges the
+    # trigger earlier — measured to perturb keyframe timing on
+    # translation-dominant worlds); "max" takes the larger of the two
+    # (rotation drives the trigger only when it DOMINATES the viewpoint
+    # change, leaving translation-dominant timing bit-identical to the
+    # reference's rule)
+    kf_rot_mode: str = "max"
     # EMA smoothing of the decision median depth (0 = off): decouples
-    # keyframe timing from single-frame median flicker on occluded worlds
-    stat_ema: float = 0.0
+    # keyframe timing from single-frame median flicker on occluded worlds.
+    # DEFAULT 0.5 (round 5): cut the bench world's worst seed 31.1 ->
+    # 14.4 cm with no regression elsewhere (NOTES_ROUND5.md).
+    stat_ema: float = 0.5
     # Insert the NEWEST dispatched frame when a keyframe decision fires
     # (False = insert the frame whose stats triggered, the reference's
     # behavior at dispatch depth 0).  With dispatch depth d the trigger
@@ -54,12 +64,21 @@ class KeyframingConfig:
     # the pipeline head restores the reference's decide-on-the-current-
     # frame semantics (Tracking.py:114-167) and absorbs trigger-timing
     # jitter (any trigger within a window inserts ~the same frame).
-    kf_promote_latest: bool = False
+    # DEFAULT ON (round 5): with stat_ema + auto anticipation it is the
+    # measured robust point across fast-translation AND orbit worlds
+    # (NOTES_ROUND5.md keyframing table).
+    kf_promote_latest: bool = True
     # Anticipate the dispatch lag in the keyframe motion criterion:
     # extrapolate the per-frame motion rate `n` frames ahead before
     # comparing against the threshold, so the trigger fires when the
-    # *pipeline head* (not the lag-old resolved frame) crosses it. 0 = off.
-    kf_anticipate: int = 0
+    # *pipeline head* (not the lag-old resolved frame) crosses it.
+    # 0 = off.  -1 = AUTO: n = dispatch_depth when dispatch_depth <= 2,
+    # else 0 — rate extrapolation is only trustworthy over a short
+    # horizon (measured: ant=2 at dispatch depth 6 moved a bench seed
+    # 14.3 -> 20.9 cm, ant=6 -> 19.5 cm, while ant=depth at depth 1-2
+    # cut the 400-frame orbit 63.7 -> 25.5 cm); at deep batched dispatch
+    # kf_promote_latest already absorbs the staleness.
+    kf_anticipate: int = -1
 
 
 @dataclass
@@ -269,6 +288,9 @@ class ComoConfig:
         assert self.mapping.corr.corr_mode in ("z", "logz", "3d")
         assert self.mapping.sampling.mode in ("greedy_conditional_entropy",
                                               "random_uniform")
+        assert self.tracking.keyframing.kf_rot_mode in ("sum", "max")
+        assert self.tracking.keyframing.kf_anticipate >= -1, \
+            "kf_anticipate: -1 (auto), 0 (off), or a positive horizon"
         pc = self.mapping.photo_construction
         assert (pc.radius_thresh > 0.0) == (pc.degrees_thresh > 0.0), \
             "radius mode needs BOTH radius_thresh and degrees_thresh > 0"

@@ -165,6 +165,9 @@ class Tracking:
     cfg: TrackingConfig
     intrinsics: jax.Array
     img_size: tuple
+    # dispatch depth of the enclosing runtime: decisions resolve this many
+    # frames after dispatch.  Used to resolve kf_anticipate=-1 (auto).
+    decision_lag: int = 0
 
     mapping_init: bool = False
     # constant-velocity warm start: helps on smooth trajectories, hurts on
@@ -331,19 +334,40 @@ class Tracking:
         # rotation-aware motion: a rotation theta sweeps scene points
         # sideways by ~ depth * theta, destroying overlap exactly like a
         # baseline of that length; fold it into the distance criterion
-        # (kf_rot_weight=0 -> the reference's translation-only rule)
+        # (kf_rot_weight=0 -> the reference's translation-only rule).
+        # mode "max" lets the rotation term drive the trigger only when it
+        # DOMINATES the viewpoint change: on translation-dominant worlds
+        # the timing stays bit-identical to the translation-only rule
+        # (sum-folding measured +5 cm on a translation world's worst seed,
+        # because every small rotation nudged the trigger earlier), while
+        # rotation-dominant worlds (orbits) trigger at theta >
+        # kf_depth_motion_ratio / kf_rot_weight regardless of depth.
+        rot_mode = kcfg.kf_rot_mode
         if kcfg.kf_rot_weight > 0.0:
-            kf_dist = kf_dist + kcfg.kf_rot_weight * median_depth * rot_angle
+            rot_motion = kcfg.kf_rot_weight * median_depth * rot_angle
+            if rot_mode == "max":
+                kf_dist = max(kf_dist, rot_motion)
+            else:
+                kf_dist = kf_dist + rot_motion
         # dispatch-lag anticipation: decisions resolve `lag` frames after
         # dispatch, so by the time a trigger lands the camera has moved
         # ~lag frames past it.  Extrapolate the (monotone-growing) motion
         # criterion by the per-frame rate so the trigger fires when the
         # PIPELINE HEAD crosses the threshold, not the lag-old frame.
-        if kcfg.kf_anticipate > 0:
+        # -1 = AUTO: anticipate exactly the dispatch lag when it is short
+        # (<= 2 frames), nothing when it is deep — rate extrapolation is
+        # only trustworthy over a short horizon (measured: ant=2 at
+        # dispatch depth 6 moved a bench seed 14.3 -> 20.9 cm; ant=depth
+        # at depth 2 cut the 400-frame orbit 63.7 -> 25.5 cm), and at deep
+        # batched dispatch kf_promote_latest already absorbs staleness.
+        anticipate = kcfg.kf_anticipate
+        if anticipate < 0:
+            anticipate = self.decision_lag if self.decision_lag <= 2 else 0
+        if anticipate > 0:
             if self._prev_motion is not None:
                 rate = max(0.0, kf_dist - self._prev_motion)
                 self._prev_motion = kf_dist
-                kf_dist = kf_dist + kcfg.kf_anticipate * rate
+                kf_dist = kf_dist + anticipate * rate
             else:
                 self._prev_motion = kf_dist
 

@@ -50,7 +50,8 @@ class ComoPipeline:
             self.track_dev = self.map_dev = None
         with device_scope(self.track_dev):
             self.tracking = Tracking(cfg=cfg.tracking, intrinsics=intrinsics,
-                                     img_size=tuple(img_size))
+                                     img_size=tuple(img_size),
+                                     decision_lag=cfg.dispatch_depth)
         with device_scope(self.map_dev):
             self.mapping = Mapping(cfg.mapping, intrinsics, tuple(img_size))
         self.rgb_q = make_queue(5)

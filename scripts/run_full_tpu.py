@@ -39,6 +39,9 @@ def main():
                    help="kf_depth_motion_ratio")
     p.add_argument("--rot_weight", type=float, default=None,
                    help="kf_rot_weight (rotation-aware motion criterion)")
+    p.add_argument("--rot_mode", default=None, choices=["sum", "max"],
+                   help="kf_rot_mode: how the rotation term combines with "
+                        "translation in the keyframe criterion")
     p.add_argument("--stat_ema", type=float, default=None,
                    help="EMA factor on the decision median depth")
     p.add_argument("--one_way_freq", type=int, default=None)
@@ -89,6 +92,8 @@ def main():
         cfg.tracking.keyframing.kf_depth_motion_ratio = args.kf_ratio
     if args.rot_weight is not None:
         cfg.tracking.keyframing.kf_rot_weight = args.rot_weight
+    if args.rot_mode is not None:
+        cfg.tracking.keyframing.kf_rot_mode = args.rot_mode
     if args.stat_ema is not None:
         cfg.tracking.keyframing.stat_ema = args.stat_ema
     if args.one_way_freq is not None:

@@ -20,22 +20,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: compiles are expensive on the 1-core host.
-# The dir is keyed by the host's CPU flags: XLA:CPU caches AOT machine
-# code, and /tmp survives container migration across hosts — loading an
-# entry compiled for another host's vector features SIGILLs/segfaults
-# (observed as a mid-suite crash in jax cpu_aot_loader).
-import hashlib  # noqa: E402
+# The dir is keyed by the host's cpuinfo IDENTITY (model, not just flags):
+# XLA:CPU caches AOT machine code, /tmp survives container migration
+# across hosts, and XLA derives model-dependent pseudo-features
+# (+prefer-no-gather/scatter) — loading an entry compiled for another
+# host SIGILLs/segfaults (observed as mid-suite cpu_aot_loader crashes;
+# a flags-only key collided across hosts in round 5).  Shared with the
+# product entry points: como_tpu._machine_tag.
+from como_tpu import _machine_tag  # noqa: E402
 
-def _cpu_tag():
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    return "generic"
-
-jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_cpu_{_cpu_tag()}")
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_cache_cpu_v2_{_machine_tag()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -31,6 +31,11 @@ def make_cfg(**keyframing):
     cfg.mapping.sampling.border = 2
     cfg.mapping.init.max_iter = 30
     cfg.tracking.term_criteria.max_iter = 30
+    # reference-style baseline (defaults ship promote+ema+auto-anticipate
+    # since round 5): each test enables exactly the knob it isolates
+    cfg.tracking.keyframing.kf_promote_latest = False
+    cfg.tracking.keyframing.stat_ema = 0.0
+    cfg.tracking.keyframing.kf_anticipate = 0
     for k, v in keyframing.items():
         setattr(cfg.tracking.keyframing, k, v)
     return cfg.validate()

@@ -144,6 +144,70 @@ def test_rotation_aware_keyframe_trigger(scene):
     assert out is None or out[0] != "keyframe"
 
 
+def test_rot_mode_max_ignores_subdominant_rotation(scene):
+    """kf_rot_mode="max" (the default): the rotation term drives the
+    trigger only when it DOMINATES the viewpoint change.  A translation
+    just under threshold plus a small rotation must NOT trigger (sum-mode
+    folding would: 0.20 + 0.5*2*0.08 = 0.28 > 0.24) — sum-folding was
+    measured to perturb keyframe timing on translation-dominant worlds
+    (+5 cm on the bench world's worst seed) because every small rotation
+    nudged the trigger earlier."""
+    t = make_tracking(scene)
+    T_kf = jnp.eye(4)
+    rgb0, depth0 = scene.render(T_kf)
+    t.update_kf_reference(([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+    t.cfg.keyframing.kf_rot_weight = 0.5
+    t.cfg.keyframing.kf_rot_mode = "max"
+    out = t.decide(_decision_pending(t, kf_dist=0.20, rot_angle=0.08))
+    assert out is None or out[0] != "keyframe"
+    # same stats, sum mode: triggers (the old folding behavior)
+    t2 = make_tracking(scene)
+    t2.update_kf_reference(([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+    t2.cfg.keyframing.kf_rot_weight = 0.5
+    t2.cfg.keyframing.kf_rot_mode = "sum"
+    out = t2.decide(_decision_pending(t2, kf_dist=0.20, rot_angle=0.08))
+    assert out is not None and out[0] == "keyframe"
+    # dominant rotation still triggers under max
+    t3 = make_tracking(scene)
+    t3.update_kf_reference(([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+    t3.cfg.keyframing.kf_rot_weight = 0.5
+    t3.cfg.keyframing.kf_rot_mode = "max"
+    out = t3.decide(_decision_pending(t3, kf_dist=0.0, rot_angle=0.3))
+    assert out is not None and out[0] == "keyframe"
+
+
+def test_anticipate_auto_resolves_from_dispatch_lag(scene):
+    """kf_anticipate=-1 (the default) resolves to the runtime's dispatch
+    lag when it is short (<= 2 frames) and to OFF at deep lag: rate
+    extrapolation is only trustworthy over a short horizon (ant=2 at
+    dispatch depth 6 measurably regressed a bench seed, NOTES_ROUND5)."""
+
+    def tracker(lag):
+        cfg = TrackingConfig()
+        assert cfg.keyframing.kf_anticipate == -1  # auto is the default
+        t = tr.Tracking(cfg=cfg, intrinsics=scene.K, img_size=IMG,
+                        decision_lag=lag)
+        t.setup()
+        T_kf = jnp.eye(4)
+        rgb0, depth0 = scene.render(T_kf)
+        t.update_kf_reference(
+            ([0.0], rgb0, T_kf[None], jnp.zeros((1, 2)), depth0))
+        return t
+
+    # motion growing 0.10 -> 0.16 per decide at threshold 0.12*2.0=0.24:
+    # at lag 2 the auto rule extrapolates 0.16 + 2*0.06 = 0.28 > 0.24
+    # -> the head will have crossed by insertion time: trigger now
+    t = tracker(2)
+    t.decide(_decision_pending(t, kf_dist=0.10))
+    out = t.decide(_decision_pending(t, kf_dist=0.16, ts=2 / 30.0))
+    assert out is not None and out[0] == "keyframe"
+    # same stats at lag 6: auto disables anticipation (0.16 < 0.24)
+    t6 = tracker(6)
+    t6.decide(_decision_pending(t6, kf_dist=0.10))
+    out = t6.decide(_decision_pending(t6, kf_dist=0.16, ts=2 / 30.0))
+    assert out is None or out[0] != "keyframe"
+
+
 def test_stat_ema_smooths_median_depth(scene):
     """stat_ema damps single-frame median-depth flicker: a one-frame
     depth spike that would trip the motion threshold at raw stats must

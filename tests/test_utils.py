@@ -31,15 +31,16 @@ def test_config_defaults_and_yaml(tmp_path):
 def test_every_shipped_preset_loads():
     """Every shipped ComoConfig preset must load over the defaults and
     pass validation (viz.yml / realsense.yml are viewer/sensor configs,
-    not ComoConfig overlays).  longrun.yml carries the round-4
-    keyframing-robustness settings: rot-aware motion + aggressive
-    coverage trigger."""
+    not ComoConfig overlays).  Since round 5 the keyframing-robustness
+    settings (promote + stat_ema + auto anticipate) are the DEFAULTS;
+    longrun.yml only tightens the dispatch depth."""
     for name in ("como.yml", "mesh.yml", "longrun.yml"):
         cfg = load_config(os.path.join("configs", name))
         assert cfg.img_size == [192, 256], name
+        assert cfg.tracking.keyframing.kf_promote_latest, name
+        assert cfg.tracking.keyframing.stat_ema == 0.5, name
+        assert cfg.tracking.keyframing.kf_anticipate == -1, name
     lr = load_config("configs/longrun.yml")
-    assert lr.tracking.keyframing.kf_rot_weight == 0.5
-    assert lr.tracking.keyframing.kf_num_pixels_frac == 0.85
     assert lr.dispatch_depth == 2
 
 
