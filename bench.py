@@ -9,6 +9,7 @@ target) and folds both into the headline ratio.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -151,6 +152,28 @@ def main():
 
     fused_burst(5)  # warm
 
+    # Cross-invocation transport baseline: the intra-run gate above catches
+    # probe swings WITHIN a run, but a session-flat slump (both probes
+    # equally slow) passes it — observed 2026-08-19: probes ~20/s vs ~55/s
+    # on the same binary hours apart, turning 28.6 FPS into 10.2.  Keep the
+    # best probe ever seen in results/probe_history.json; if this session's
+    # probe is far below it, back off and re-probe (weather often passes),
+    # and flag the artifact as slumped if it never recovers.
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "results", "probe_history.json")
+    try:
+        with open(hist_path) as f:
+            hist_best = float(json.load(f)["best_probe"])
+    except (OSError, ValueError, KeyError):
+        hist_best = 0.0
+    probe_now = fused_burst()
+    for _ in range(5):
+        if not hist_best or probe_now >= 0.55 * hist_best:
+            break
+        time.sleep(45.0)
+        probe_now = max(probe_now, fused_burst())
+    transport_slump = bool(hist_best) and probe_now < 0.55 * hist_best
+
     def make_cfg():
         cfg_e2e = ComoConfig()
         cfg_e2e.img_size = list(img_size)
@@ -231,6 +254,16 @@ def main():
     path_len = med("path_len_m")
     prog_fps = best_probe
 
+    # persist the transport baseline for the next invocation's slump gate
+    best_probe = max(best_probe, probe_now)
+    try:
+        os.makedirs(os.path.dirname(hist_path), exist_ok=True)
+        with open(hist_path, "w") as f:
+            json.dump({"best_probe": round(max(hist_best, best_probe), 1)},
+                      f)
+    except OSError:
+        pass
+
     # headline: tracking FPS vs the 30 FPS real-time bar; report GN + e2e too
     result = {
         "metric": "tracking_fps",
@@ -247,6 +280,14 @@ def main():
             "e2e_ate_cm": round(med("ate_cm"), 3),
             "e2e_per_seed": per_seed,
             "frame_program_throughput_fps": round(float(prog_fps), 2),
+            # transport weather relative to the best service rate ever
+            # recorded on this repo (results/probe_history.json): when
+            # transport_slump is true the e2e FPS measures tunnel load,
+            # not the framework — read frame_program_throughput_fps and
+            # the per-seed ATEs (deterministic) instead
+            "transport_probe_best_ever": round(float(max(hist_best,
+                                                         best_probe)), 1),
+            "transport_slump": transport_slump,
             "e2e_dispatch_depth": 6,
             "e2e_frame_batch": 2,
             "e2e_world": "clutter 192x256, 9KF/24OW, 64 anchors, "
